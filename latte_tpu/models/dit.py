@@ -1,0 +1,230 @@
+"""Latte: factorized spatio-temporal video DiT (Flax).
+
+Capability parity with the reference core model
+(`/root/reference/models/latte.py:204-398`): per-frame patchify, interleaved
+spatial (HW-token) / temporal (F-token) transformer blocks with adaLN-Zero
+conditioning, frozen sin-cos positional tables, learned-sigma output, and
+the 4-channel CFG forward.
+
+TPU-first design choices (not in the reference):
+- The depth/2 (spatial, temporal) block pairs run under `flax.linen.scan`
+  with stacked parameters — one trace instead of 14, so the whole stack
+  compiles to a single fused XLA while-loop and compile time stays flat in
+  depth.
+- The (b f) t d <-> (b t) f d relayouts are pure reshape/transposes on a
+  (B, F, T, D) carry, which XLA keeps as cheap relayouts.
+- Attention dispatches to the Pallas flash kernel for long (spatial) token
+  sequences and to a fused XLA path for short (temporal) ones.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from latte_tpu.models.embeddings import (
+    LabelEmbedder,
+    TimestepEmbedder,
+    get_1d_sincos_pos_embed,
+    get_2d_sincos_pos_embed,
+)
+from latte_tpu.models.layers import AdaLNBlock, FinalLayer, PatchEmbed, unpatchify
+
+
+class SpatioTemporalPair(nn.Module):
+    """One (spatial block, temporal block) pair — the scanned unit.
+
+    Carry ``x`` has shape (B·F, T, D) (spatial token layout). ``cond`` is the
+    broadcast tuple (c_spatial, c_temp, temp_embed); ``is_first`` is the
+    scanned per-iteration flag that gates the temporal positional embedding
+    (the reference adds it only before the first temporal block,
+    `models/latte.py:357-358`).
+    """
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    attention_mode: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cond: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+        is_first: jnp.ndarray,
+    ):
+        c_spatial, c_temp, temp_embed = cond
+        F = temp_embed.shape[1]
+        BF, T, D = x.shape
+        B = BF // F
+
+        x = AdaLNBlock(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            attention_mode=self.attention_mode,
+            dtype=self.dtype,
+            name="spatial",
+        )(x, c_spatial)
+
+        # (b f) t d -> (b t) f d
+        x = x.reshape(B, F, T, D).transpose(0, 2, 1, 3).reshape(B * T, F, D)
+        x = x + is_first.astype(x.dtype) * temp_embed
+
+        x = AdaLNBlock(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            attention_mode=self.attention_mode,
+            dtype=self.dtype,
+            name="temporal",
+        )(x, c_temp)
+
+        # (b t) f d -> (b f) t d
+        x = x.reshape(B, T, F, D).transpose(0, 2, 1, 3).reshape(B * F, T, D)
+        return x, None
+
+
+class Latte(nn.Module):
+    """Video DiT. Input (B, F, C, H, W), timesteps (B,) -> (B, F, C', H, W)
+    with C' = 2C when ``learn_sigma`` (eps ‖ variance-interpolant).
+
+    ``extras``: 1 = unconditional, 2 = class-conditional,
+    78 = pooled-text-embedding conditioning (legacy CLIP path).
+    """
+
+    input_size: int = 32
+    patch_size: int = 2
+    in_channels: int = 4
+    hidden_size: int = 1152
+    depth: int = 28
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    num_frames: int = 16
+    class_dropout_prob: float = 0.1
+    num_classes: int = 1000
+    learn_sigma: bool = True
+    extras: int = 1
+    attention_mode: str = "auto"
+    gradient_checkpointing: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        return self.in_channels * 2 if self.learn_sigma else self.in_channels
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        y: Optional[jnp.ndarray] = None,
+        text_embedding: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        B, F, C, H, W = x.shape
+        in_dtype = x.dtype
+        p = self.patch_size
+
+        x = x.reshape(B * F, C, H, W)
+        x = PatchEmbed(
+            patch_size=p,
+            hidden_size=self.hidden_size,
+            dtype=self.dtype,
+            name="x_embedder",
+        )(x)
+        T = x.shape[1]
+
+        pos_embed = jnp.asarray(
+            get_2d_sincos_pos_embed(self.hidden_size, H // p), dtype=self.dtype
+        )[None]
+        temp_embed = jnp.asarray(
+            get_1d_sincos_pos_embed(self.hidden_size, F), dtype=self.dtype
+        )[None]
+        x = x + pos_embed
+
+        t_emb = TimestepEmbedder(
+            hidden_size=self.hidden_size, dtype=self.dtype, name="t_embedder"
+        )(t)
+        # Conditioning broadcast: per-frame for spatial blocks, per-patch for
+        # temporal blocks (reference `models/latte.py:333-343`).
+        c_spatial = jnp.repeat(t_emb, F, axis=0)
+        c_temp = jnp.repeat(t_emb, T, axis=0)
+
+        if self.extras == 2:
+            y_emb = LabelEmbedder(
+                num_classes=self.num_classes,
+                hidden_size=self.hidden_size,
+                dropout_prob=self.class_dropout_prob,
+                dtype=self.dtype,
+                name="y_embedder",
+            )(y, train=train)
+            y_spatial = jnp.repeat(y_emb, F, axis=0)
+            c_spatial = c_spatial + y_spatial
+            c_temp = c_temp + jnp.repeat(y_emb, T, axis=0)
+        elif self.extras == 78:
+            txt = nn.Dense(
+                self.hidden_size,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.xavier_uniform(),
+                name="text_embedding_projection",
+            )(nn.silu(text_embedding.reshape(B, -1).astype(self.dtype)))
+            c_spatial = c_spatial + jnp.repeat(txt, F, axis=0)
+            c_temp = c_temp + jnp.repeat(txt, T, axis=0)
+
+        n_pairs = self.depth // 2
+        pair_cls = SpatioTemporalPair
+        if self.gradient_checkpointing:
+            pair_cls = nn.remat(pair_cls, prevent_cse=False)
+        PairScan = nn.scan(
+            pair_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, 0),
+            length=n_pairs,
+        )
+        is_first = (jnp.arange(n_pairs) == 0).astype(self.dtype).reshape(n_pairs, 1, 1, 1)
+        x, _ = PairScan(
+            hidden_size=self.hidden_size,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            attention_mode=self.attention_mode,
+            dtype=self.dtype,
+            name="blocks",
+        )(x, (c_spatial, c_temp, temp_embed), is_first)
+
+        # Final layer conditioning: timestep (+ class) — the text path uses
+        # timestep only (reference `models/latte.py:370-373`).
+        c_final = c_spatial if self.extras == 2 else jnp.repeat(t_emb, F, axis=0)
+        x = FinalLayer(
+            hidden_size=self.hidden_size,
+            patch_size=p,
+            out_channels=self.out_channels,
+            dtype=self.dtype,
+            name="final_layer",
+        )(x, c_final)
+        x = unpatchify(x, p, self.out_channels)
+        x = x.reshape(B, F, self.out_channels, H, W)
+        return x.astype(in_dtype)
+
+    def forward_with_cfg(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        y: Optional[jnp.ndarray] = None,
+        cfg_scale: float = 7.0,
+        text_embedding: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """CFG forward: batch is [cond | uncond]; guidance on the first 4
+        (eps) channels only — reference quirk (`models/latte.py:379-398`)."""
+        half = x[: x.shape[0] // 2]
+        combined = jnp.concatenate([half, half], axis=0)
+        model_out = self.__call__(combined, t, y=y, text_embedding=text_embedding)
+        eps, rest = model_out[:, :, :4], model_out[:, :, 4:]
+        cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
+        half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
+        eps = jnp.concatenate([half_eps, half_eps], axis=0)
+        return jnp.concatenate([eps, rest], axis=2)

@@ -1,0 +1,215 @@
+"""Transformer building blocks for the Latte DiT family (Flax).
+
+Capability parity with `/root/reference/models/latte.py:28-201` but written
+TPU-first: attention dispatches to either a pure-XLA path (fp32 softmax,
+fully fusable) or the Pallas flash-attention kernel in
+:mod:`latte_tpu.kernels.attention`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+xavier = nn.initializers.xavier_uniform
+zeros = nn.initializers.zeros
+
+
+def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """adaLN modulation; shift/scale are (B, D), x is (B, N, D)."""
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: Dense -> gelu(tanh) -> Dense."""
+
+    hidden_features: int
+    out_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(
+            self.hidden_features, dtype=self.dtype, kernel_init=xavier(), name="fc1"
+        )(x)
+        x = nn.gelu(x, approximate=True)
+        x = nn.Dense(
+            self.out_features, dtype=self.dtype, kernel_init=xavier(), name="fc2"
+        )(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with pluggable kernel backend.
+
+    ``mode``:
+      - "xla":   einsum attention, softmax in fp32 (XLA fuses the chain).
+      - "flash": Pallas flash-attention kernel (long-sequence spatial path).
+      - "auto":  flash when the sequence is long enough to profit, else xla.
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    mode: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, C = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(
+            self.dim * 3,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            kernel_init=xavier(),
+            name="qkv",
+        )(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
+
+        mode = self.mode
+        if mode == "auto":
+            # Flash pays off for long sequences; tiny (e.g. 16-frame
+            # temporal) sequences are faster on the plain fused XLA path.
+            mode = "flash" if N >= 256 else "xla"
+
+        if mode == "flash":
+            from latte_tpu.kernels.attention import flash_attention
+
+            out = flash_attention(q, k, v)  # (B, N, H, hd)
+        elif mode == "xla":
+            scale = head_dim**-0.5
+            qf = (q * scale).astype(jnp.float32)
+            logits = jnp.einsum("bnhd,bmhd->bhnm", qf, k.astype(jnp.float32))
+            probs = nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+        else:
+            raise NotImplementedError(f"attention mode {self.mode}")
+
+        out = out.reshape(B, N, C)
+        return nn.Dense(
+            self.dim, dtype=self.dtype, kernel_init=xavier(), name="proj"
+        )(out)
+
+
+class AdaLNBlock(nn.Module):
+    """DiT transformer block with adaLN-Zero conditioning.
+
+    The modulation MLP is zero-initialized so each block starts as identity
+    (reference `models/latte.py:286-289`).
+    """
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    attention_mode: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        mod = nn.Dense(
+            6 * self.hidden_size,
+            dtype=self.dtype,
+            kernel_init=zeros,
+            bias_init=zeros,
+            name="adaLN_modulation",
+        )(nn.silu(c))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
+            mod, 6, axis=-1
+        )
+        norm1 = nn.LayerNorm(
+            epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm1"
+        )(x)
+        x = x + gate_msa[:, None, :] * Attention(
+            dim=self.hidden_size,
+            num_heads=self.num_heads,
+            qkv_bias=True,
+            mode=self.attention_mode,
+            dtype=self.dtype,
+            name="attn",
+        )(modulate(norm1, shift_msa, scale_msa))
+        norm2 = nn.LayerNorm(
+            epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm2"
+        )(x)
+        x = x + gate_mlp[:, None, :] * Mlp(
+            hidden_features=int(self.hidden_size * self.mlp_ratio),
+            out_features=self.hidden_size,
+            dtype=self.dtype,
+            name="mlp",
+        )(modulate(norm2, shift_mlp, scale_mlp))
+        return x
+
+
+class FinalLayer(nn.Module):
+    """adaLN-modulated zero-initialized output projection."""
+
+    hidden_size: int
+    patch_size: int
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        mod = nn.Dense(
+            2 * self.hidden_size,
+            dtype=self.dtype,
+            kernel_init=zeros,
+            bias_init=zeros,
+            name="adaLN_modulation",
+        )(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = nn.LayerNorm(
+            epsilon=1e-6,
+            use_bias=False,
+            use_scale=False,
+            dtype=self.dtype,
+            name="norm_final",
+        )(x)
+        x = modulate(x, shift, scale)
+        return nn.Dense(
+            self.patch_size * self.patch_size * self.out_channels,
+            dtype=self.dtype,
+            kernel_init=zeros,
+            bias_init=zeros,
+            name="linear",
+        )(x)
+
+
+class PatchEmbed(nn.Module):
+    """Patchify as reshape + matmul (MXU-friendly; no conv needed).
+
+    Equivalent to the reference's strided conv with the kernel flattened in
+    (C, p, p) order — the torch->flax converter reshapes the conv weight
+    accordingly.
+    """
+
+    patch_size: int
+    hidden_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, C, H, W) -> (B, H/p * W/p, D)."""
+        B, C, H, W = x.shape
+        p = self.patch_size
+        assert H % p == 0 and W % p == 0, f"input {H}x{W} not divisible by {p}"
+        x = x.reshape(B, C, H // p, p, W // p, p)
+        x = x.transpose(0, 2, 4, 1, 3, 5)  # (B, H/p, W/p, C, p, p)
+        x = x.reshape(B, (H // p) * (W // p), C * p * p)
+        return nn.Dense(
+            self.hidden_size, dtype=self.dtype, kernel_init=xavier(), name="proj"
+        )(x.astype(self.dtype))
+
+
+def unpatchify(x: jnp.ndarray, patch_size: int, out_channels: int) -> jnp.ndarray:
+    """(B, T, p²·C) -> (B, C, H, W) with T = (H/p)·(W/p), square grid."""
+    B, T, _ = x.shape
+    p, c = patch_size, out_channels
+    h = w = int(round(T**0.5))
+    assert h * w == T, "unpatchify expects a square token grid"
+    x = x.reshape(B, h, w, p, p, c)
+    x = jnp.einsum("nhwpqc->nchpwq", x)
+    return x.reshape(B, c, h * p, w * p)

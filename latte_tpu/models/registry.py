@@ -1,0 +1,67 @@
+"""Model registry: named Latte configurations (XL/L/B/S × patch 2/4/8).
+
+Parity with `/root/reference/models/latte.py:464-506` and
+`models/latte_img.py:524-529`; `get_model` mirrors the dispatch semantics of
+`models/__init__.py:31-51`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from latte_tpu.models.dit import Latte
+from latte_tpu.models.dit_img import LatteIMG
+
+_SIZES: Dict[str, Dict[str, Any]] = {
+    "XL": dict(depth=28, hidden_size=1152, num_heads=16),
+    "L": dict(depth=24, hidden_size=1024, num_heads=16),
+    "B": dict(depth=12, hidden_size=768, num_heads=12),
+    "S": dict(depth=12, hidden_size=384, num_heads=6),
+}
+_PATCHES = (2, 4, 8)
+
+Latte_models: Dict[str, Dict[str, Any]] = {
+    f"Latte-{s}/{p}": dict(patch_size=p, **cfg)
+    for s, cfg in _SIZES.items()
+    for p in _PATCHES
+}
+LatteIMG_models: Dict[str, Dict[str, Any]] = {
+    f"LatteIMG-{s}/{p}": dict(patch_size=p, **cfg)
+    for s, cfg in _SIZES.items()
+    for p in _PATCHES
+}
+
+
+def get_model(name: str, **overrides):
+    """Build a model module by registry name, e.g. ``Latte-XL/2``."""
+    if name in Latte_models:
+        return Latte(**{**Latte_models[name], **overrides})
+    if name in LatteIMG_models:
+        return LatteIMG(**{**LatteIMG_models[name], **overrides})
+    raise ValueError(f"unknown model {name!r}; known: {sorted(Latte_models)}")
+
+
+def get_models(args):
+    """Config-object factory mirroring the reference entry-point seam.
+
+    ``args`` needs: model, image_size, num_frames, learn_sigma, extras, and
+    optionally num_classes / attention_mode / gradient_checkpointing /
+    use_image_num.
+    """
+    latent_size = int(getattr(args, "image_size", 256)) // 8
+    common = dict(
+        input_size=latent_size,
+        num_frames=int(getattr(args, "num_frames", 16)),
+        learn_sigma=bool(getattr(args, "learn_sigma", True)),
+        extras=int(getattr(args, "extras", 1)),
+    )
+    if getattr(args, "num_classes", None):
+        common["num_classes"] = int(args.num_classes)
+    if getattr(args, "attention_mode", None):
+        common["attention_mode"] = str(args.attention_mode)
+    if getattr(args, "gradient_checkpointing", False):
+        common["gradient_checkpointing"] = True
+    name = args.model
+    if name in LatteIMG_models:
+        common["use_image_num"] = int(getattr(args, "use_image_num", 0))
+    return get_model(name, **common)

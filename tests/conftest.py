@@ -6,12 +6,20 @@ devices — set env vars before anything imports jax.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even if the ambient environment selects a TPU platform: unit
+# tests need hermetic fp32 math and 8 virtual devices for sharding tests.
+# The environment's sitecustomize registers the TPU backend at interpreter
+# start and overrides JAX_PLATFORMS, so we must go through jax.config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
