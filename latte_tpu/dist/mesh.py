@@ -1,0 +1,86 @@
+"""Device-mesh construction and sharding specs.
+
+The reference's only parallelism is NCCL data parallelism (DDP,
+`/root/reference/train.py:125`, `utils.py:216-249`). The TPU-native
+equivalent is a `jax.sharding.Mesh` over ICI with named axes and
+`NamedSharding` annotations — XLA inserts the gradient reductions.
+
+Axes:
+  - ``dp``: data parallel (batch axis).
+  - ``tp``: tensor parallel (hidden axis of the DiT matmuls) — the mesh
+    carries the axis so models can shard attention heads / MLP columns;
+    size 1 reproduces the reference's pure-DP behavior.
+
+Multi-host init goes through `jax.distributed.initialize()`
+(:func:`initialize_distributed`), replacing torchrun/SLURM rendezvous.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    dp: int = -1  # -1: use all remaining devices
+    tp: int = 1
+
+    def resolve(self, n_devices: int) -> "MeshConfig":
+        dp = self.dp if self.dp != -1 else n_devices // self.tp
+        assert dp * self.tp == n_devices, (
+            f"mesh {dp}x{self.tp} != {n_devices} devices"
+        )
+        return MeshConfig(dp=dp, tp=self.tp)
+
+
+def make_mesh(
+    config: MeshConfig = MeshConfig(), devices: Optional[Sequence[Any]] = None
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    cfg = config.resolve(len(devices))
+    arr = np.asarray(devices).reshape(cfg.dp, cfg.tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place a host batch onto the mesh, sharded over the leading (batch) axis."""
+    sharding = NamedSharding(mesh, P("dp"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (params, opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_spec() -> P:
+    return P("dp")
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host init (ICI intra-slice / DCN inter-slice).
+
+    A no-op on single-process setups; replaces the reference's
+    `setup_distributed()` NCCL/SLURM rendezvous (`utils.py:216-249`).
+    """
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0

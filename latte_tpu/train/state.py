@@ -1,0 +1,57 @@
+"""Train state: params + EMA + optimizer state, and the reference's
+optimization defaults (AdamW lr 1e-4 wd 0, EMA 0.9999, warmup-then-constant
+LR — `/root/reference/train.py:128,155-160`, `utils.py:190-200`)."""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # scalar int32
+    params: Any
+    ema_params: Any
+    opt_state: Any
+
+
+def make_lr_schedule(
+    lr: float = 1e-4, warmup_steps: int = 0
+) -> optax.Schedule:
+    """Linear warmup to ``lr`` then constant (the reference's scheduler)."""
+    if warmup_steps <= 0:
+        return optax.constant_schedule(lr)
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, lr, warmup_steps), optax.constant_schedule(lr)],
+        boundaries=[warmup_steps],
+    )
+
+
+def make_optimizer(
+    lr: float = 1e-4, weight_decay: float = 0.0, warmup_steps: int = 0
+) -> optax.GradientTransformation:
+    return optax.adamw(
+        make_lr_schedule(lr, warmup_steps), weight_decay=weight_decay
+    )
+
+
+def create_train_state(params, optimizer: optax.GradientTransformation) -> TrainState:
+    """EMA starts as a copy of params (reference: `update_ema(..., decay=0)`
+    at init, `train.py:163`)."""
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=optimizer.init(params),
+    )
+
+
+def update_ema(ema_params, params, decay: float = 0.9999):
+    return jax.tree_util.tree_map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema_params, params
+    )

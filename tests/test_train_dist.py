@@ -1,0 +1,142 @@
+"""Training-step and multi-device sharding tests (8 virtual CPU devices)."""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from latte_tpu.core.diffusion import create_diffusion
+from latte_tpu.dist.mesh import MeshConfig, make_mesh, replicate, shard_batch
+from latte_tpu.models import Latte
+from latte_tpu.train import create_train_state, make_train_step
+from latte_tpu.train.state import make_lr_schedule, make_optimizer, update_ema
+
+
+def tiny_setup(extras=1, num_classes=10):
+    model = Latte(
+        input_size=8,
+        patch_size=2,
+        hidden_size=32,
+        depth=2,
+        num_heads=2,
+        num_frames=2,
+        extras=extras,
+        num_classes=num_classes,
+        attention_mode="xla",
+    )
+    diffusion = create_diffusion("", diffusion_steps=50)
+    optimizer = make_optimizer(lr=1e-3)
+    x = jnp.zeros((2, 2, 4, 8, 8))
+    rngs = {"params": jax.random.PRNGKey(0), "label_dropout": jax.random.PRNGKey(1)}
+    kw = {"y": jnp.zeros((2,), jnp.int32)} if extras == 2 else {}
+    variables = model.init(rngs, x, jnp.zeros((2,), jnp.int32), **kw)
+    state = create_train_state(variables["params"], optimizer)
+    return model, diffusion, optimizer, state
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        model, diffusion, optimizer, state = tiny_setup()
+        step = jax.jit(make_train_step(model, diffusion, optimizer))
+        batch = {
+            "latents": jax.random.normal(jax.random.PRNGKey(2), (4, 2, 4, 8, 8)) * 0.5
+        }
+        rng = jax.random.PRNGKey(3)
+        losses = []
+        for _ in range(30):
+            state, metrics = step(state, batch, rng)
+            losses.append(float(metrics["loss"]))
+        assert int(state.step) == 30
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    def test_ema_tracks_params(self):
+        model, diffusion, optimizer, state = tiny_setup()
+        step = jax.jit(make_train_step(model, diffusion, optimizer, ema_decay=0.5))
+        batch = {"latents": jnp.ones((2, 2, 4, 8, 8)) * 0.1}
+        s0_param = np.asarray(
+            jax.tree_util.tree_leaves(state.params)[0]
+        ).copy()
+        for _ in range(3):
+            state, _ = step(state, batch, jax.random.PRNGKey(0))
+        p = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+        e = np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0])
+        # ema lags params but has moved from init
+        assert not np.allclose(e, p)
+        assert not np.allclose(e, s0_param)
+
+    def test_grad_clip_deferred(self):
+        """Before start_clip_iter the step must not clip (scale==1)."""
+        model, diffusion, optimizer, state = tiny_setup()
+        batch = {"latents": jax.random.normal(jax.random.PRNGKey(2), (2, 2, 4, 8, 8))}
+        step_noclip = jax.jit(
+            make_train_step(
+                model, diffusion, optimizer, clip_max_norm=1e-9, start_clip_iter=10**6
+            )
+        )
+        step_clip = jax.jit(
+            make_train_step(
+                model, diffusion, optimizer, clip_max_norm=1e-9, start_clip_iter=0
+            )
+        )
+        s1, _ = step_noclip(state, batch, jax.random.PRNGKey(0))
+        s2, _ = step_clip(state, batch, jax.random.PRNGKey(0))
+        p1 = jax.tree_util.tree_leaves(s1.params)
+        p2 = jax.tree_util.tree_leaves(s2.params)
+        diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(p1, p2)]
+        assert max(diffs) > 0  # clipping changed the update
+
+    def test_lr_schedule_warmup(self):
+        sched = make_lr_schedule(1e-4, warmup_steps=100)
+        assert float(sched(0)) == 0.0
+        np.testing.assert_allclose(float(sched(50)), 5e-5, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(100)), 1e-4, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(10_000)), 1e-4, rtol=1e-6)
+
+    def test_update_ema_math(self):
+        ema = {"w": jnp.ones((2,))}
+        params = {"w": jnp.zeros((2,))}
+        out = update_ema(ema, params, decay=0.9)
+        np.testing.assert_allclose(np.asarray(out["w"]), 0.9)
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        mesh = make_mesh(MeshConfig(dp=4, tp=2))
+        assert mesh.devices.shape == (4, 2)
+        assert mesh.axis_names == ("dp", "tp")
+
+    def test_auto_dp(self):
+        mesh = make_mesh(MeshConfig(dp=-1, tp=2))
+        assert mesh.devices.shape == (4, 2)
+
+    def test_shard_batch_layout(self):
+        mesh = make_mesh(MeshConfig(dp=8, tp=1))
+        batch = {"latents": jnp.zeros((16, 2, 4, 8, 8))}
+        sharded = shard_batch(mesh, batch)
+        # each device holds 1/8 of the batch axis
+        shard_shapes = {
+            s.data.shape for s in sharded["latents"].addressable_shards
+        }
+        assert shard_shapes == {(2, 2, 4, 8, 8)}
+
+    def test_replicate(self):
+        mesh = make_mesh(MeshConfig(dp=8, tp=1))
+        params = {"w": jnp.arange(8.0)}
+        rep = replicate(mesh, params)
+        assert rep["w"].sharding.is_fully_replicated
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import __graft_entry__
+
+        __graft_entry__.dryrun_multichip(8)
+
+    def test_dryrun_multichip_4(self):
+        import __graft_entry__
+
+        __graft_entry__.dryrun_multichip(4)
