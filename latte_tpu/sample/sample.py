@@ -1,0 +1,161 @@
+"""Single-device sampling entry point.
+
+Reproduces `bash sample/ffs.sh` semantics
+(`/root/reference/sample/sample.py:39-126`): build model from config, load
+checkpoint (EMA preferred), respaced DDPM/DDIM loop with optional CFG, VAE
+decode (/0.18215), mp4 out at fps 8 — with the whole denoising trajectory
+jitted as one `lax.scan` program.
+
+Usage: ``python -m latte_tpu.sample.sample --config configs/ffs/ffs_sample.yaml
+[key=value ...]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latte_tpu.config import Config, load_config
+from latte_tpu.core.diffusion import create_diffusion
+from latte_tpu.core.samplers import ddim_sample_loop, p_sample_loop
+from latte_tpu.models import get_models
+from latte_tpu.train.checkpoint import find_model
+from latte_tpu.utils import create_logger, save_video, to_uint8
+
+
+def build_sample_fn(model, params, config, diffusion):
+    """Return a jitted (z, y, rng) -> final-latents function."""
+    use_cfg = (
+        int(getattr(config, "extras", 1)) == 2
+        and float(getattr(config, "cfg_scale", 1.0)) > 1.0
+    )
+    sample_method = str(getattr(config, "sample_method", "ddpm")).lower()
+
+    def model_fn(x, t, **kw):
+        if use_cfg:
+            return model.apply(
+                params, x, t, cfg_scale=float(config.cfg_scale),
+                method=model.forward_with_cfg, **kw,
+            )
+        return model.apply(params, x, t, **kw)
+
+    def sample(z, y, rng):
+        kwargs = {"y": y} if y is not None else {}
+        if sample_method == "ddim":
+            return ddim_sample_loop(
+                diffusion, model_fn, z, rng=rng, model_kwargs=kwargs
+            )
+        return p_sample_loop(diffusion, model_fn, z, rng=rng, model_kwargs=kwargs)
+
+    return jax.jit(sample), use_cfg
+
+
+def load_vae(config):
+    """Load VAE decode params if a converted checkpoint is configured."""
+    vae_ckpt = getattr(config, "vae_ckpt", None)
+    if not vae_ckpt or not os.path.exists(vae_ckpt):
+        return None, None
+    from latte_tpu.vae import AutoencoderKL
+
+    vae = AutoencoderKL()
+    import orbax.checkpoint as ocp
+
+    params = ocp.PyTreeCheckpointer().restore(os.path.abspath(vae_ckpt))
+    return vae, {"params": params}
+
+
+def main(config: Config) -> str:
+    logger = create_logger()
+    # the reference's fp16 speedup toggle maps to bf16 on TPU
+    dtype = jnp.bfloat16 if getattr(config, "use_fp16", False) else jnp.float32
+    model = get_models(config)
+    if dtype != jnp.float32:
+        model = model.clone(dtype=dtype)
+
+    latent = int(config.image_size) // 8
+    frames = int(getattr(config, "num_frames", 16))
+    seed = int(getattr(config, "seed", 0))
+    rng = jax.random.PRNGKey(seed)
+
+    n = 1
+    z = jax.random.normal(
+        jax.random.fold_in(rng, 0), (n, frames, 4, latent, latent), dtype=jnp.float32
+    )
+
+    ckpt = getattr(config, "ckpt", None)
+    if ckpt and os.path.exists(ckpt):
+        params_tree = find_model(ckpt, depth=model.depth)
+        params = {"params": jax.tree_util.tree_map(jnp.asarray, params_tree)}
+        logger.info(f"loaded checkpoint {ckpt}")
+    else:
+        x0 = jnp.zeros((1, frames, 4, latent, latent))
+        init_rngs = {"params": jax.random.PRNGKey(0)}
+        kw = {}
+        if int(getattr(config, "extras", 1)) == 2:
+            init_rngs["label_dropout"] = jax.random.PRNGKey(1)
+            kw["y"] = jnp.zeros((1,), jnp.int32)
+        params = model.init(init_rngs, x0, jnp.zeros((1,), jnp.int32), **kw)
+        logger.info("WARNING: no checkpoint found — sampling from random init")
+
+    diffusion = create_diffusion(str(config.num_sampling_steps))
+    sample_fn, use_cfg = build_sample_fn(model, params, config, diffusion)
+
+    y = None
+    if int(getattr(config, "extras", 1)) == 2:
+        y_val = getattr(config, "sample_class", 0)
+        y = jnp.full((n,), int(y_val), jnp.int32)
+        if use_cfg:
+            # cond ∥ null-class halves (reference `sample/sample.py:88-94`)
+            z = jnp.concatenate([z, z], axis=0)
+            y = jnp.concatenate(
+                [y, jnp.full((n,), model.num_classes, jnp.int32)], axis=0
+            )
+
+    t0 = time.perf_counter()
+    latents = sample_fn(z, y, jax.random.fold_in(rng, 1))
+    latents = jax.block_until_ready(latents)
+    logger.info(f"sampled in {time.perf_counter() - t0:.2f}s")
+    if use_cfg:
+        latents = latents[:n]
+
+    out_path = getattr(config, "save_video_path", "./sample_videos/sample.mp4")
+    vae, vae_params = load_vae(config)
+    if vae is not None:
+        b, f = latents.shape[:2]
+        flat = latents.reshape(b * f, *latents.shape[2:]) / 0.18215
+        decode = jax.jit(lambda zz: vae.apply(vae_params, zz, method=vae.decode))
+        video = np.asarray(decode(flat))  # (b*f, 3, H, W)
+        video = video.reshape(b, f, *video.shape[1:]).transpose(0, 1, 3, 4, 2)
+        save_video(out_path, to_uint8(video[0]), fps=8)
+        logger.info(f"saved video to {out_path}")
+    else:
+        out_path = os.path.splitext(out_path)[0] + "_latents.npz"
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        np.savez(out_path, latents=np.asarray(latents))
+        logger.info(f"no VAE configured — saved latents to {out_path}")
+    return out_path
+
+
+def cli():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--save_video_path", default=None)
+    p.add_argument("overrides", nargs="*")
+    a = p.parse_args()
+    cfg = load_config(a.config, a.overrides)
+    if a.ckpt:
+        cfg.ckpt = a.ckpt
+    if a.save_video_path:
+        cfg.save_video_path = a.save_video_path
+    main(cfg)
+
+
+if __name__ == "__main__":
+    cli()

@@ -1,0 +1,68 @@
+"""Orbax checkpointing with the reference's load semantics.
+
+Saves ``{params, ema_params, opt_state, step}`` (the reference omits
+optimizer state — `/root/reference/train.py:260-271` — we fix that);
+`find_model` prefers EMA weights like the reference loader
+(`utils.py:274-287`) and transparently converts reference `.pt` files via
+:mod:`latte_tpu.tools.convert`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+from latte_tpu.train.state import TrainState
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, state: TrainState) -> str:
+    """Save full train state to ``path`` (an orbax directory)."""
+    path = os.path.abspath(path)
+    payload = {
+        "step": np.asarray(state.step),
+        "params": jax.device_get(state.params),
+        "ema_params": jax.device_get(state.ema_params),
+        "opt_state": jax.device_get(state.opt_state),
+    }
+    _checkpointer().save(path, payload, force=True)
+    return path
+
+
+def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    return _checkpointer().restore(os.path.abspath(path), item=target)
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Find the newest step-numbered checkpoint dir (e.g. ``0050000``)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, max(steps, key=int))
+
+
+def find_model(path: str, depth: Optional[int] = None, prefer_ema: bool = True):
+    """Load inference params from either an orbax dir or a reference `.pt`.
+
+    Returns a Flax params tree; prefers EMA weights when present.
+    """
+    if os.path.isdir(path):
+        payload = load_checkpoint(path)
+        key = "ema_params" if prefer_ema and "ema_params" in payload else "params"
+        return payload[key]
+    # torch .pt from the reference release
+    from latte_tpu.tools.convert import convert_latte_state_dict, load_torch_checkpoint
+
+    assert depth is not None, "depth required to convert a reference .pt checkpoint"
+    sd = load_torch_checkpoint(path, prefer_ema=prefer_ema)
+    return convert_latte_state_dict(sd, depth=depth)
