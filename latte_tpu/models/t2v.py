@@ -1,0 +1,428 @@
+"""LatteT2V: text-to-video DiT (Flax).
+
+Capability parity with `/root/reference/models/latte_t2v.py:444-945` (the
+diffusers/PixArt-α idiom): per-frame PatchEmbed, pairs of
+- spatial blocks: self-attention + T5 cross-attention, adaLN-single
+  modulation via a per-block ``scale_shift_table`` (6, D) + shared
+  timestep projection (`latte_t2v.py:294-300,398-428`),
+- temporal blocks: self-attention only (`BasicTransformerBlock_`,
+  `latte_t2v.py:125-396`), temporal sincos pos-embed added before pair 0,
+followed by an adaLN-single output projection with a (2, D) table
+(`latte_t2v.py:910-936`). Supports joint video+image training
+(``use_image_num``) with per-image caption states (`latte_t2v.py:793-800`),
+``enable_temporal_attentions`` and video-length interpolation.
+
+TPU-first: scanned block pairs (single trace), flash attention for the long
+spatial sequences, fused XLA attention for temporal/cross, static shapes
+with additive -1e4 key masks instead of variable-length truncation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from latte_tpu.models.embeddings import (
+    TimestepEmbedder,
+    get_1d_sincos_pos_embed,
+    get_2d_sincos_pos_embed,
+)
+from latte_tpu.models.layers import PatchEmbed
+
+xavier = nn.initializers.xavier_uniform
+
+
+class T2VFeedForward(nn.Module):
+    """diffusers FeedForward: geglu | gelu-approximate projection in."""
+
+    dim: int
+    mult: int = 4
+    activation_fn: str = "gelu-approximate"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        if self.activation_fn == "geglu":
+            h = nn.Dense(inner * 2, dtype=self.dtype, kernel_init=xavier(), name="net_0_proj")(x)
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * nn.gelu(gate, approximate=False)
+        elif self.activation_fn == "gelu-approximate":
+            h = nn.Dense(inner, dtype=self.dtype, kernel_init=xavier(), name="net_0_proj")(x)
+            h = nn.gelu(h, approximate=True)
+        else:
+            raise NotImplementedError(self.activation_fn)
+        return nn.Dense(self.dim, dtype=self.dtype, kernel_init=xavier(), name="net_2")(h)
+
+
+class MultiHeadCrossAttention(nn.Module):
+    """diffusers-style attention: separate q/k/v projections, optional
+    cross-attention states and additive key-bias mask."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    qkv_bias: bool = True
+    mode: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        mask_bias: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        B, N, _ = x.shape
+        inner = self.num_heads * self.head_dim
+        kv = x if context is None else context
+        M = kv.shape[1]
+        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, kernel_init=xavier(), name="to_q")(x)
+        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, kernel_init=xavier(), name="to_k")(kv)
+        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, kernel_init=xavier(), name="to_v")(kv)
+        q = q.reshape(B, N, self.num_heads, self.head_dim)
+        k = k.reshape(B, M, self.num_heads, self.head_dim)
+        v = v.reshape(B, M, self.num_heads, self.head_dim)
+
+        mode = self.mode
+        if mode == "auto":
+            mode = (
+                "flash"
+                if (context is None and mask_bias is None and N >= 256 and N % 128 == 0)
+                else "xla"
+            )
+        if mode == "flash":
+            from latte_tpu.kernels.attention import flash_attention
+
+            out = flash_attention(q, k, v)
+        else:
+            scale = self.head_dim**-0.5
+            logits = jnp.einsum(
+                "bnhd,bmhd->bhnm",
+                (q * scale).astype(jnp.float32),
+                k.astype(jnp.float32),
+            )
+            if mask_bias is not None:
+                # mask_bias: (B, 1, M) additive (0 keep / -1e4 drop)
+                logits = logits + mask_bias[:, None, :, :]  # -> (B, 1, 1, M)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+        out = out.reshape(B, N, inner)
+        return nn.Dense(self.dim, dtype=self.dtype, kernel_init=xavier(), name="to_out")(out)
+
+
+class T2VSpatialBlock(nn.Module):
+    """adaLN-single block: self-attn -> cross-attn (T5) -> FF."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    activation_fn: str = "gelu-approximate"
+    attention_mode: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timestep_mod, context, context_mask_bias):
+        B = x.shape[0]
+        table = self.param(
+            "scale_shift_table",
+            nn.initializers.normal(stddev=self.dim**-0.5),
+            (6, self.dim),
+        )
+        mods = table[None] + timestep_mod.reshape(B, 6, -1)
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
+            m.astype(self.dtype) for m in jnp.split(mods, 6, axis=1)
+        ]
+        h = nn.LayerNorm(
+            epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm1"
+        )(x)
+        h = h * (1 + scale_msa) + shift_msa
+        attn = MultiHeadCrossAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            head_dim=self.head_dim,
+            mode=self.attention_mode,
+            dtype=self.dtype,
+            name="attn1",
+        )(h)
+        x = x + gate_msa * attn
+        # cross-attention: no norm for ada_norm_single (PixArt quirk)
+        x = x + MultiHeadCrossAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            head_dim=self.head_dim,
+            mode="xla",
+            dtype=self.dtype,
+            name="attn2",
+        )(x, context=context, mask_bias=context_mask_bias)
+        h = nn.LayerNorm(
+            epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm3"
+        )(x)
+        h = h * (1 + scale_mlp) + shift_mlp
+        x = x + gate_mlp * T2VFeedForward(
+            dim=self.dim, activation_fn=self.activation_fn, dtype=self.dtype, name="ff"
+        )(h)
+        return x
+
+
+class T2VTemporalBlock(nn.Module):
+    """adaLN-single self-attention-only block (`BasicTransformerBlock_`)."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    activation_fn: str = "gelu-approximate"
+    attention_mode: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timestep_mod):
+        B = x.shape[0]
+        table = self.param(
+            "scale_shift_table",
+            nn.initializers.normal(stddev=self.dim**-0.5),
+            (6, self.dim),
+        )
+        mods = table[None] + timestep_mod.reshape(B, 6, -1)
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = [
+            m.astype(self.dtype) for m in jnp.split(mods, 6, axis=1)
+        ]
+        h = nn.LayerNorm(
+            epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm1"
+        )(x)
+        h = h * (1 + scale_msa) + shift_msa
+        attn = MultiHeadCrossAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            head_dim=self.head_dim,
+            mode=self.attention_mode,
+            dtype=self.dtype,
+            name="attn1",
+        )(h)
+        x = x + gate_msa * attn
+        h = nn.LayerNorm(
+            epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm3"
+        )(x)
+        h = h * (1 + scale_mlp) + shift_mlp
+        x = x + gate_mlp * T2VFeedForward(
+            dim=self.dim, activation_fn=self.activation_fn, dtype=self.dtype, name="ff"
+        )(h)
+        return x
+
+
+class AdaLayerNormSingle(nn.Module):
+    """Shared timestep conditioning (PixArt adaLN-single,
+    `latte_t2v.py:398-428`): sincos(256) -> MLP(D) -> silu -> Dense(6D)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        emb = TimestepEmbedder(hidden_size=self.dim, dtype=self.dtype, name="emb")(t)
+        mod = nn.Dense(6 * self.dim, dtype=self.dtype, kernel_init=xavier(), name="linear")(
+            nn.silu(emb)
+        )
+        return mod, emb
+
+
+class CaptionProjection(nn.Module):
+    """T5 feature projection (`latte_t2v.py:662-664`)."""
+
+    hidden_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, caption: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(
+            self.hidden_size, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(stddev=0.02), name="linear_1",
+        )(caption.astype(self.dtype))
+        x = nn.gelu(x, approximate=True)
+        return nn.Dense(
+            self.hidden_size, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(stddev=0.02), name="linear_2",
+        )(x)
+
+
+class T2VPair(nn.Module):
+    """Scanned (spatial, temporal) pair for LatteT2V."""
+
+    dim: int
+    num_heads: int
+    head_dim: int
+    num_video_frames: int
+    enable_temporal_attentions: bool = True
+    activation_fn: str = "gelu-approximate"
+    attention_mode: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cond, is_first):
+        (t_spatial, t_temp, context_sp, ctx_bias, temp_pos_embed) = cond
+        Fv = self.num_video_frames
+        BF, T, D = x.shape
+        B = t_temp.shape[0] // T
+
+        x = T2VSpatialBlock(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            head_dim=self.head_dim,
+            activation_fn=self.activation_fn,
+            attention_mode=self.attention_mode,
+            dtype=self.dtype,
+            name="spatial",
+        )(x, t_spatial, context_sp, ctx_bias)
+
+        if self.enable_temporal_attentions:
+            Ftot = BF // B
+            x = x.reshape(B, Ftot, T, D).transpose(0, 2, 1, 3).reshape(B * T, Ftot, D)
+            x_video, x_image = x[:, :Fv], x[:, Fv:]
+            if Fv > 1:
+                x_video = x_video + is_first.astype(x.dtype) * temp_pos_embed
+            x_video = T2VTemporalBlock(
+                dim=self.dim,
+                num_heads=self.num_heads,
+                head_dim=self.head_dim,
+                activation_fn=self.activation_fn,
+                attention_mode=self.attention_mode,
+                dtype=self.dtype,
+                name="temporal",
+            )(x_video, t_temp)
+            x = jnp.concatenate([x_video, x_image], axis=1)
+            x = x.reshape(B, T, Ftot, D).transpose(0, 2, 1, 3).reshape(B * Ftot, T, D)
+        # when temporal attentions are disabled (t2i), temporal params are
+        # simply never created/used; apply() tolerates extra params when
+        # loading a full T2V checkpoint.
+        return x, None
+
+
+class LatteT2V(nn.Module):
+    """Text-to-video transformer. Input (B, C, F(+I), H, W) + T5 states."""
+
+    num_attention_heads: int = 16
+    attention_head_dim: int = 72
+    in_channels: int = 4
+    out_channels: int = 8
+    num_layers: int = 28
+    patch_size: int = 2
+    sample_size: int = 64
+    cross_attention_dim: int = 1152
+    caption_channels: int = 4096
+    video_length: int = 16
+    activation_fn: str = "gelu-approximate"
+    attention_mode: str = "auto"
+    enable_temporal_attentions: bool = True
+    gradient_checkpointing: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def inner_dim(self) -> int:
+        return self.num_attention_heads * self.attention_head_dim
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        timestep: jnp.ndarray,
+        encoder_hidden_states: jnp.ndarray,
+        encoder_attention_mask: Optional[jnp.ndarray] = None,
+        use_image_num: int = 0,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        B, C, Ftot, H, W = hidden_states.shape
+        D = self.inner_dim
+        Fv = Ftot - use_image_num
+        p = self.patch_size
+        in_dtype = hidden_states.dtype
+
+        # (b c f h w) -> (b f) c h w, per-frame patchify + 2d pos embed
+        x = hidden_states.transpose(0, 2, 1, 3, 4).reshape(B * Ftot, C, H, W)
+        x = PatchEmbed(
+            patch_size=p, hidden_size=D, dtype=self.dtype, name="pos_embed"
+        )(x)
+        T = x.shape[1]
+        pos = jnp.asarray(get_2d_sincos_pos_embed(D, H // p), dtype=self.dtype)[None]
+        x = x + pos
+        temp_pos_embed = jnp.asarray(
+            get_1d_sincos_pos_embed(D, Fv), dtype=self.dtype
+        )[None]
+
+        t_mod, embedded_t = AdaLayerNormSingle(
+            dim=D, dtype=self.dtype, name="adaln_single"
+        )(timestep)
+        t_spatial = jnp.repeat(t_mod, Ftot, axis=0)  # (B*Ftot, 6D)
+        t_temp = jnp.repeat(t_mod, T, axis=0)  # (B*T, 6D)
+
+        ctx = CaptionProjection(
+            hidden_size=D, dtype=self.dtype, name="caption_projection"
+        )(encoder_hidden_states)
+        if use_image_num and train:
+            # ctx: (B, 1+I, L, D): caption 0 for all video frames, then
+            # one caption per joint image (`latte_t2v.py:793-800`)
+            ctx_video = jnp.repeat(ctx[:, :1], Fv, axis=1)
+            ctx_sp = jnp.concatenate([ctx_video, ctx[:, 1:]], axis=1)
+            ctx_sp = ctx_sp.reshape(B * Ftot, *ctx_sp.shape[2:])
+        else:
+            ctx_sp = jnp.repeat(ctx, Ftot, axis=0)  # (B*F, L, D)
+
+        ctx_bias = None
+        if encoder_attention_mask is not None:
+            if encoder_attention_mask.ndim == 2:  # (B, L), 1=keep
+                bias = (1.0 - encoder_attention_mask.astype(jnp.float32)) * -10000.0
+                ctx_bias = jnp.repeat(bias[:, None, :], Ftot, axis=0).reshape(
+                    B * Ftot, 1, -1
+                )
+            else:  # (B, 1+I, L) joint form
+                bias = (1.0 - encoder_attention_mask.astype(jnp.float32)) * -10000.0
+                bias_video = jnp.repeat(bias[:, :1], Fv, axis=1)
+                bias = jnp.concatenate([bias_video, bias[:, 1:]], axis=1)
+                ctx_bias = bias.reshape(B * Ftot, 1, -1)
+
+        n_pairs = self.num_layers
+        pair_cls = T2VPair
+        if self.gradient_checkpointing:
+            pair_cls = nn.remat(pair_cls, prevent_cse=False)
+        PairScan = nn.scan(
+            pair_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast, 0),
+            length=n_pairs,
+        )
+        is_first = (jnp.arange(n_pairs) == 0).astype(self.dtype).reshape(n_pairs, 1, 1, 1)
+        x, _ = PairScan(
+            dim=D,
+            num_heads=self.num_attention_heads,
+            head_dim=self.attention_head_dim,
+            num_video_frames=Fv,
+            enable_temporal_attentions=self.enable_temporal_attentions,
+            activation_fn=self.activation_fn,
+            attention_mode=self.attention_mode,
+            dtype=self.dtype,
+            name="blocks",
+        )(x, (t_spatial, t_temp, ctx_sp, ctx_bias, temp_pos_embed), is_first)
+
+        # adaLN-single output projection (`latte_t2v.py:921-929`)
+        out_table = self.param(
+            "scale_shift_table", nn.initializers.normal(stddev=D**-0.5), (2, D)
+        )
+        emb_sp = jnp.repeat(embedded_t, Ftot, axis=0)  # (B*Ftot, D)
+        shift, scale = jnp.split(out_table[None] + emb_sp[:, None, :], 2, axis=1)
+        x = nn.LayerNorm(
+            epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm_out"
+        )(x)
+        x = x * (1 + scale.astype(self.dtype)) + shift.astype(self.dtype)
+        x = nn.Dense(
+            p * p * self.out_channels, dtype=self.dtype, kernel_init=xavier(), name="proj_out"
+        )(x)
+
+        # unpatchify to (B, C_out, F, H, W)
+        h_p, w_p = H // p, W // p
+        x = x.reshape(B * Ftot, h_p, w_p, p, p, self.out_channels)
+        x = jnp.einsum("nhwpqc->nchpwq", x)
+        x = x.reshape(B, Ftot, self.out_channels, H, W).transpose(0, 2, 1, 3, 4)
+        return x.astype(in_dtype)
