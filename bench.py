@@ -43,7 +43,9 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, 16, 4, 32, 32), jnp.float32)
     t0 = jnp.zeros((batch,), jnp.int32)
-    variables = model.init({"params": rng}, x, t0)
+    # init MUST be jitted: eager op-by-op dispatch is pathologically slow on
+    # remote-attached TPU backends.
+    variables = jax.jit(lambda: model.init({"params": rng}, x, t0))()
     params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), variables)
 
     def model_fn(xx, tt):

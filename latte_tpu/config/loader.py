@@ -13,13 +13,14 @@ import yaml
 
 
 class Config(dict):
-    """dict with attribute access (missing keys -> None, like getattr use in
-    the reference entry points)."""
+    """dict with attribute access. Missing keys raise AttributeError so
+    ``getattr(cfg, key, default)`` keeps working; keys that are present but
+    null (YAML ``key:``) return None."""
 
     def __getattr__(self, name: str) -> Any:
-        if name.startswith("__"):
+        if name not in self:
             raise AttributeError(name)
-        v = self.get(name)
+        v = self[name]
         return Config(v) if isinstance(v, dict) and not isinstance(v, Config) else v
 
     def __setattr__(self, name: str, value: Any) -> None:

@@ -100,7 +100,9 @@ def main(config: Config) -> str:
         if int(getattr(config, "extras", 1)) == 2:
             init_rngs["label_dropout"] = jax.random.PRNGKey(1)
             kw["y"] = jnp.zeros((1,), jnp.int32)
-        params = model.init(init_rngs, x0, jnp.zeros((1,), jnp.int32), **kw)
+        params = jax.jit(
+            lambda: model.init(init_rngs, x0, jnp.zeros((1,), jnp.int32), **kw)
+        )()
         logger.info("WARNING: no checkpoint found — sampling from random init")
 
     diffusion = create_diffusion(str(config.num_sampling_steps))

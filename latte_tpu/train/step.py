@@ -38,17 +38,25 @@ def make_train_step(
     clip_max_norm: float = 0.1,
     start_clip_iter: int = 0,
     extras: int = 1,
+    encode_fn: Optional[Callable] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict]]:
     """Build the jittable train step.
 
     ``batch``: {"latents": (B,F,C,H,W) fp32 VAE latents (already scaled),
     "y": optional (B,) int labels, "y_image": optional (B,I) labels}.
+    When ``encode_fn(video, rng) -> latents`` is given, the batch carries
+    raw pixels under "video" and VAE encoding fuses into the same XLA
+    program (the reference runs it as a separate no_grad pass,
+    `train.py:206-211`).
     """
 
     def train_step(state: TrainState, batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
-        rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
-        latents = batch["latents"]
+        rng_t, rng_noise, rng_drop, rng_vae = jax.random.split(rng, 4)
+        if encode_fn is not None:
+            latents = jax.lax.stop_gradient(encode_fn(batch["video"], rng_vae))
+        else:
+            latents = batch["latents"]
         B = latents.shape[0]
         t = jax.random.randint(rng_t, (B,), 0, diffusion.num_timesteps, dtype=jnp.int32)
 

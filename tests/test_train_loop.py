@@ -1,0 +1,69 @@
+"""Full training-loop entry point smoke tests (synthetic data, CPU mesh)."""
+
+import os
+
+import numpy as np
+
+from latte_tpu.config import Config
+
+
+def tiny_train_cfg(tmp_path, **kw):
+    cfg = Config(
+        {
+            "dataset": "ffs",
+            "data_path": "/nonexistent",  # -> synthetic batches
+            "results_dir": str(tmp_path / "results"),
+            "model": "Latte-S/2",
+            "image_size": 64,
+            "num_frames": 4,
+            "learn_sigma": True,
+            "extras": 1,
+            "attention_mode": "xla",
+            "learning_rate": 1e-4,
+            "local_batch_size": 1,
+            "max_train_steps": 6,
+            "log_every": 3,
+            "ckpt_every": 5,
+            "global_seed": 0,
+            "clip_max_norm": 0.1,
+            "start_clip_iter": 2,
+        }
+    )
+    cfg.update(kw)
+    return cfg
+
+
+class TestTrainLoop:
+    def test_runs_and_checkpoints(self, tmp_path):
+        from latte_tpu.train.train import main
+
+        out = main(tiny_train_cfg(tmp_path))
+        assert out["final_step"] == 6
+        assert np.isfinite(out["loss"])
+        exp = out["experiment_dir"]
+        assert os.path.exists(os.path.join(exp, "config.yaml"))
+        ckpts = os.listdir(os.path.join(exp, "checkpoints"))
+        assert "0000005" in ckpts and "0000006" in ckpts
+
+    def test_resume(self, tmp_path):
+        from latte_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+        from latte_tpu.train.train import main
+
+        out = main(tiny_train_cfg(tmp_path))
+        ckpt = latest_checkpoint(os.path.join(out["experiment_dir"], "checkpoints"))
+        payload = load_checkpoint(ckpt)
+        assert int(payload["step"]) == 6
+        # resume and run 2 more steps
+        cfg = tiny_train_cfg(tmp_path, max_train_steps=8, resume_from_checkpoint=ckpt)
+        out2 = main(cfg)
+        ckpts = os.listdir(os.path.join(out2["experiment_dir"], "checkpoints"))
+        assert "0000008" in ckpts
+
+    def test_class_conditional_loop(self, tmp_path):
+        from latte_tpu.train.train import main
+
+        cfg = tiny_train_cfg(
+            tmp_path, extras=2, num_classes=5, max_train_steps=3, log_every=3, ckpt_every=100
+        )
+        out = main(cfg)
+        assert np.isfinite(out["loss"])
