@@ -43,17 +43,23 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, 16, 4, 32, 32), jnp.float32)
     t0 = jnp.zeros((batch,), jnp.int32)
-    # init MUST be jitted: eager op-by-op dispatch is pathologically slow on
-    # remote-attached TPU backends.
-    variables = jax.jit(lambda: model.init({"params": rng}, x, t0))()
-    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), variables)
+    # Everything stays under jit: eager op-by-op dispatch (init, per-leaf
+    # casts) is pathologically slow on remote-attached TPU backends.
+    @jax.jit
+    def init_bf16():
+        v = model.init({"params": rng}, x, t0)
+        return jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), v)
+
+    params = init_bf16()
 
     def model_fn(xx, tt):
         return model.apply(params, xx, tt)
 
-    @jax.jit
+    # host-driven loop: one jitted DDIM step dispatched 50x. The scan-mode
+    # single-program loop is preferred on directly-attached pods, but
+    # remote-attached backends compile nested while-loops pathologically.
     def sample(z):
-        return ddim_sample_loop(diffusion, model_fn, z)
+        return ddim_sample_loop(diffusion, model_fn, z, loop="host")
 
     z = jax.random.normal(jax.random.PRNGKey(1), x.shape, dtype=jnp.float32)
     # Warmup/compile.

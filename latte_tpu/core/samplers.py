@@ -32,14 +32,22 @@ def _run_loop(
     rng: Optional[jax.Array],
     noise_schedule: Optional[jnp.ndarray],
     collect_trajectory: bool,
+    loop: str = "scan",
 ):
-    """Scan `step_fn(x, t, noise)` over t = T-1 .. 0.
+    """Iterate `step_fn(x, t, noise)` over t = T-1 .. 0.
 
     Per-step noise comes from ``rng`` (folded in by timestep) or from an
     explicit ``noise_schedule`` of shape (T, *x.shape) — the latter enables
     bit-parity tests against recorded reference noise.
+
+    ``loop``:
+      - "scan": the whole trajectory is one `lax.scan` — a single XLA
+        program, zero host round-trips (default; right for real pods).
+      - "host": a Python loop around one jitted step. Functionally
+        identical; avoids nested XLA while-loops (the model's scanned
+        block stack is itself a loop), which some remote-attached TPU
+        compilers handle poorly, at the cost of one dispatch per step.
     """
-    ts = jnp.arange(diffusion.num_timesteps - 1, -1, -1, dtype=jnp.int32)
 
     def body(x, t_scalar):
         if noise_schedule is not None:
@@ -55,6 +63,17 @@ def _run_loop(
         y = out["sample"] if collect_trajectory else None
         return out["sample"], y
 
+    if loop == "host":
+        step = jax.jit(lambda x, t: body(x, t)[0])
+        x = x_T
+        traj = []
+        for t_scalar in range(diffusion.num_timesteps - 1, -1, -1):
+            x = step(x, jnp.int32(t_scalar))
+            if collect_trajectory:
+                traj.append(x)
+        return (x, jnp.stack(traj)) if collect_trajectory else x
+
+    ts = jnp.arange(diffusion.num_timesteps - 1, -1, -1, dtype=jnp.int32)
     final, traj = jax.lax.scan(body, x_T, ts)
     return (final, traj) if collect_trajectory else final
 
@@ -70,6 +89,7 @@ def p_sample_loop(
     model_kwargs: Optional[Dict[str, Any]] = None,
     noise_schedule: Optional[jnp.ndarray] = None,
     collect_trajectory: bool = False,
+    loop: str = "scan",
 ):
     """Ancestral DDPM sampling from pure noise x_T."""
     step = partial(
@@ -87,6 +107,7 @@ def p_sample_loop(
         rng,
         noise_schedule,
         collect_trajectory,
+        loop=loop,
     )
 
 
@@ -102,6 +123,7 @@ def ddim_sample_loop(
     eta: float = 0.0,
     noise_schedule: Optional[jnp.ndarray] = None,
     collect_trajectory: bool = False,
+    loop: str = "scan",
 ):
     """DDIM sampling (deterministic at eta=0)."""
     step = partial(
@@ -120,6 +142,7 @@ def ddim_sample_loop(
         rng,
         noise_schedule,
         collect_trajectory,
+        loop=loop,
     )
 
 
