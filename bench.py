@@ -4,11 +4,20 @@ sampling with Latte-XL/2 (the reference's flagship unconditional protocol,
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Measurement notes (remote-attached TPU):
+- everything runs under jit (eager dispatch is ~100ms/op through the relay);
+- the sampling chain is value-dependent step-to-step and the final latents
+  are materialized to host, so the timing cannot be faked by async dispatch
+  (`block_until_ready` is unreliable through the relay);
+- the DDIM loop is host-driven (one jitted step, 50 dispatches): this
+  backend's compiler cannot handle an XLA while-loop around the full model,
+  and per-dispatch overhead is ~2ms against a ~60ms step.
+
 Baseline: the reference repo publishes no throughput number (BASELINE.md),
 and no A100 is available here, so ``A100_EST_VIDEOS_PER_MIN`` is a derived
 estimate, documented inline: Latte-XL/2 forward ≈ 16 TFLOPs for a 16-frame
-32×32-latent clip (28 blocks × ~24·D²·tokens + attention), 50 DDIM steps
-→ ≈ 0.8 PFLOPs/video; A100 fp16 peak 312 TFLOP/s at ~30% eager-PyTorch
+32×32-latent clip (28 blocks × 24·D²·tokens + attention), 50 DDIM steps
+→ ≈ 0.8 PFLOPs/video; A100 fp16 312 TFLOP/s peak at ~30% eager-PyTorch
 utilization → ≈ 94 TFLOP/s → ≈ 8.5 s/video ≈ 7 videos/min/GPU.
 """
 
@@ -17,7 +26,11 @@ from __future__ import annotations
 import json
 import time
 
+import numpy as np
+
 A100_EST_VIDEOS_PER_MIN = 7.0
+BATCH = 2  # matches the reference's per-proc DDP sampling batch
+STEPS = 50
 
 
 def main() -> None:
@@ -25,54 +38,69 @@ def main() -> None:
     import jax.numpy as jnp
 
     from latte_tpu.core.diffusion import create_diffusion
-    from latte_tpu.core.samplers import ddim_sample_loop
     from latte_tpu.models import get_model
 
-    batch = 2  # matches the reference's per-proc DDP sampling batch
+    on_tpu = jax.default_backend() == "tpu"
     model = get_model(
         "Latte-XL/2",
         input_size=32,
         num_frames=16,
         extras=1,
         learn_sigma=True,
-        attention_mode="auto",
+        attention_mode="auto" if on_tpu else "xla",
+        unroll_blocks=on_tpu,
         dtype=jnp.bfloat16,
     )
-    diffusion = create_diffusion("ddim50")
+    diffusion = create_diffusion(f"ddim{STEPS}")
 
     rng = jax.random.PRNGKey(0)
-    x = jnp.zeros((batch, 16, 4, 32, 32), jnp.float32)
-    t0 = jnp.zeros((batch,), jnp.int32)
-    # Everything stays under jit: eager op-by-op dispatch (init, per-leaf
-    # casts) is pathologically slow on remote-attached TPU backends.
+    x_shape = (BATCH, 16, 4, 32, 32)
+    t0c = jnp.zeros((BATCH,), jnp.int32)
+
+    # Throughput benching doesn't need trained values; zero-filled params of
+    # the exact shapes avoid a multi-minute random-init execution through
+    # the remote relay (matmul cost is value-independent).
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": rng}, jnp.zeros(x_shape, jnp.float32), t0c)
+    )
+
     @jax.jit
     def init_bf16():
-        v = model.init({"params": rng}, x, t0)
-        return jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), v)
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, jnp.bfloat16), shapes
+        )
 
     params = init_bf16()
 
-    def model_fn(xx, tt):
-        return model.apply(params, xx, tt)
+    # one jitted DDIM step, reused across all timesteps & runs. Params are
+    # an ARGUMENT (closing over device arrays bakes GBs of constants into
+    # the HLO and stalls compilation).
+    @jax.jit
+    def ddim_step(p, x, t_scalar):
+        def model_fn(xx, tt):
+            return model.apply(p, xx, tt)
 
-    # host-driven loop: one jitted DDIM step dispatched 50x. The scan-mode
-    # single-program loop is preferred on directly-attached pods, but
-    # remote-attached backends compile nested while-loops pathologically.
-    def sample(z):
-        return ddim_sample_loop(diffusion, model_fn, z, loop="host")
+        t = jnp.full((x.shape[0],), t_scalar, jnp.int32)
+        return diffusion.ddim_sample(model_fn, x, t, jnp.zeros_like(x))["sample"]
 
-    z = jax.random.normal(jax.random.PRNGKey(1), x.shape, dtype=jnp.float32)
-    # Warmup/compile.
-    jax.block_until_ready(sample(z))
+    ts = list(range(diffusion.num_timesteps - 1, -1, -1))
 
-    n_iters = 3
+    def run(seed: int):
+        z = jax.random.normal(jax.random.PRNGKey(seed), x_shape, jnp.float32)
+        for t_scalar in ts:
+            z = ddim_step(params, z, jnp.int32(t_scalar))
+        return np.asarray(z[0, 0, 0, 0, 0])  # force materialization
+
+    run(1)  # warmup/compile
+
+    n_runs = 3
     start = time.perf_counter()
-    for i in range(n_iters):
-        out = sample(z)
-    jax.block_until_ready(out)
+    for i in range(n_runs):
+        val = run(2 + i)
     elapsed = time.perf_counter() - start
+    assert np.isfinite(val)
 
-    videos_per_min = batch * n_iters * 60.0 / elapsed
+    videos_per_min = BATCH * n_runs * 60.0 / elapsed
     print(
         json.dumps(
             {

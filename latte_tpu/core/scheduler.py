@@ -1,0 +1,339 @@
+"""Pluggable inference schedulers for the T2V pipeline.
+
+The reference lets users pick one of 10 diffusers schedulers
+(`/root/reference/sample/sample_t2x.py:43-114`). This module provides a
+functional, scan-friendly re-design of the same roles: each scheduler is a
+stateless object whose per-step state (for multistep methods) is an
+explicit pytree threaded through `step`, so the whole sampling loop can
+live inside one jitted program.
+
+Implemented: DDIM, DDPM, EulerDiscrete, EulerAncestralDiscrete,
+HeunDiscrete, DPMSolverMultistep, PNDM (plain-DDIM tail mode),
+DEISMultistep (1st-order mode), DPMSolverSinglestep (1st-order = DPM
+multistep order 1), KDPM2AncestralDiscrete (ancestral Euler fallback).
+Higher-order refinements of the last four are planned; their names map to
+well-defined algorithms here so configs remain portable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latte_tpu.core.schedules import get_named_beta_schedule
+
+__all__ = ["get_scheduler", "SCHEDULERS"]
+
+
+def _to_f32(x) -> jnp.ndarray:
+    return jnp.asarray(x, dtype=jnp.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class BaseScheduler:
+    """Shared alpha/sigma tables (fp64 numpy, jit constants)."""
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.0001
+    beta_end: float = 0.02
+    beta_schedule: str = "linear"
+    prediction_type: str = "epsilon"
+
+    def __post_init__(self):
+        if self.beta_schedule == "linear":
+            betas = np.linspace(
+                self.beta_start, self.beta_end, self.num_train_timesteps, dtype=np.float64
+            )
+        elif self.beta_schedule == "scaled_linear":
+            betas = (
+                np.linspace(
+                    self.beta_start**0.5,
+                    self.beta_end**0.5,
+                    self.num_train_timesteps,
+                    dtype=np.float64,
+                )
+                ** 2
+            )
+        else:
+            betas = get_named_beta_schedule(self.beta_schedule, self.num_train_timesteps)
+        object.__setattr__(self, "betas", betas)
+        object.__setattr__(self, "alphas_cumprod", np.cumprod(1.0 - betas))
+
+    # -- common API ------------------------------------------------------
+    @property
+    def init_noise_sigma(self) -> float:
+        return 1.0
+
+    def timesteps(self, num_inference_steps: int) -> np.ndarray:
+        """Descending training-timestep indices (leading-space style)."""
+        step = self.num_train_timesteps // num_inference_steps
+        return (np.arange(num_inference_steps) * step).round()[::-1].astype(np.int64)
+
+    def scale_model_input(self, sample: jnp.ndarray, t_index: jnp.ndarray, state) -> jnp.ndarray:
+        return sample
+
+    def init_state(self, num_inference_steps: int, shape) -> Dict[str, Any]:
+        return {}
+
+    def _pred_x0(self, model_output, sample, alpha_bar):
+        if self.prediction_type == "epsilon":
+            return (sample - jnp.sqrt(1 - alpha_bar) * model_output) / jnp.sqrt(alpha_bar)
+        if self.prediction_type == "sample":
+            return model_output
+        if self.prediction_type == "v_prediction":
+            return jnp.sqrt(alpha_bar) * sample - jnp.sqrt(1 - alpha_bar) * model_output
+        raise NotImplementedError(self.prediction_type)
+
+    def _pred_eps(self, model_output, sample, alpha_bar):
+        if self.prediction_type == "epsilon":
+            return model_output
+        x0 = self._pred_x0(model_output, sample, alpha_bar)
+        return (sample - jnp.sqrt(alpha_bar) * x0) / jnp.sqrt(1 - alpha_bar)
+
+
+@dataclasses.dataclass(frozen=True)
+class DDIMScheduler(BaseScheduler):
+    clip_sample: bool = False
+    eta: float = 0.0
+
+    def step(self, model_output, i, ts, sample, state, rng=None):
+        t = ts[i]
+        prev_t = jnp.where(
+            i + 1 < ts.shape[0], ts[jnp.minimum(i + 1, ts.shape[0] - 1)], -1
+        )
+        ac = _to_f32(self.alphas_cumprod)
+        alpha_bar = ac[t]
+        alpha_prev = jnp.where(prev_t >= 0, ac[jnp.maximum(prev_t, 0)], 1.0)
+        x0 = self._pred_x0(model_output, sample, alpha_bar)
+        if self.clip_sample:
+            x0 = jnp.clip(x0, -1, 1)
+        eps = self._pred_eps(model_output, sample, alpha_bar)
+        sigma = self.eta * jnp.sqrt(
+            (1 - alpha_prev) / (1 - alpha_bar) * (1 - alpha_bar / alpha_prev)
+        )
+        prev = jnp.sqrt(alpha_prev) * x0 + jnp.sqrt(1 - alpha_prev - sigma**2) * eps
+        if self.eta > 0 and rng is not None:
+            prev = prev + sigma * jax.random.normal(rng, sample.shape, sample.dtype)
+        return prev, state
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPMScheduler(BaseScheduler):
+    clip_sample: bool = True
+    variance_type: str = "fixed_small"
+
+    def step(self, model_output, i, ts, sample, state, rng=None):
+        t = ts[i]
+        prev_t = jnp.where(
+            i + 1 < ts.shape[0], ts[jnp.minimum(i + 1, ts.shape[0] - 1)], -1
+        )
+        ac = _to_f32(self.alphas_cumprod)
+        alpha_bar = ac[t]
+        alpha_prev = jnp.where(prev_t >= 0, ac[jnp.maximum(prev_t, 0)], 1.0)
+        cur_alpha = alpha_bar / alpha_prev
+        cur_beta = 1 - cur_alpha
+        x0 = self._pred_x0(model_output, sample, alpha_bar)
+        if self.clip_sample:
+            x0 = jnp.clip(x0, -1, 1)
+        coef_x0 = jnp.sqrt(alpha_prev) * cur_beta / (1 - alpha_bar)
+        coef_xt = jnp.sqrt(cur_alpha) * (1 - alpha_prev) / (1 - alpha_bar)
+        mean = coef_x0 * x0 + coef_xt * sample
+        var = jnp.clip((1 - alpha_prev) / (1 - alpha_bar) * cur_beta, min=1e-20)
+        if rng is not None:
+            noise = jax.random.normal(rng, sample.shape, sample.dtype)
+        else:
+            noise = jnp.zeros_like(sample)
+        prev = mean + jnp.where(t > 0, jnp.sqrt(var), 0.0) * noise
+        return prev, state
+
+
+class _KarrasMixin:
+    """sigma-space machinery shared by Euler/Heun/KDPM2 schedulers."""
+
+    def sigmas(self, num_inference_steps: int) -> np.ndarray:
+        ac = self.alphas_cumprod
+        all_sigmas = np.sqrt((1 - ac) / ac)
+        ts = self.timesteps(num_inference_steps).astype(np.int64)
+        sig = all_sigmas[ts]
+        return np.append(sig, 0.0)  # terminal sigma 0
+
+    @property
+    def init_noise_sigma(self) -> float:
+        return float(np.sqrt(self.sigmas(getattr(self, "_n", 50))[0] ** 2 + 1))
+
+    def scale_model_input(self, sample, i, state) -> jnp.ndarray:
+        sig = state["sigmas"][i]
+        return sample / jnp.sqrt(sig**2 + 1)
+
+    def init_state(self, num_inference_steps, shape):
+        return {"sigmas": _to_f32(self.sigmas(num_inference_steps))}
+
+    def _x0_from_sigma(self, model_output, sample, sigma):
+        if self.prediction_type == "epsilon":
+            return sample - sigma * model_output
+        if self.prediction_type == "v_prediction":
+            return model_output * (-sigma / jnp.sqrt(sigma**2 + 1)) + sample / (sigma**2 + 1)
+        return model_output
+
+
+@dataclasses.dataclass(frozen=True)
+class EulerDiscreteScheduler(_KarrasMixin, BaseScheduler):
+    def step(self, model_output, i, ts, sample, state, rng=None):
+        sig, sig_next = state["sigmas"][i], state["sigmas"][i + 1]
+        x0 = self._x0_from_sigma(model_output, sample, sig)
+        d = (sample - x0) / sig
+        return sample + d * (sig_next - sig), state
+
+
+@dataclasses.dataclass(frozen=True)
+class EulerAncestralDiscreteScheduler(_KarrasMixin, BaseScheduler):
+    def step(self, model_output, i, ts, sample, state, rng=None):
+        sig, sig_next = state["sigmas"][i], state["sigmas"][i + 1]
+        x0 = self._x0_from_sigma(model_output, sample, sig)
+        sigma_up = jnp.sqrt(
+            jnp.clip(sig_next**2 * (sig**2 - sig_next**2) / sig**2, min=0.0)
+        )
+        sigma_down = jnp.sqrt(jnp.clip(sig_next**2 - sigma_up**2, min=0.0))
+        d = (sample - x0) / sig
+        prev = sample + d * (sigma_down - sig)
+        if rng is not None:
+            prev = prev + sigma_up * jax.random.normal(rng, sample.shape, sample.dtype)
+        return prev, state
+
+
+@dataclasses.dataclass(frozen=True)
+class HeunDiscreteScheduler(_KarrasMixin, BaseScheduler):
+    """Heun's 2nd-order method; one extra model call folded via state.
+
+    Functional formulation: `step` is called once per model evaluation;
+    even calls are the Euler predictor, odd calls the Heun corrector
+    (diffusers interleaves timesteps the same way).
+    """
+
+    def init_state(self, num_inference_steps, shape):
+        return {
+            "sigmas": _to_f32(self.sigmas(num_inference_steps)),
+            "prev_derivative": jnp.zeros(shape, jnp.float32),
+            "sample": jnp.zeros(shape, jnp.float32),
+            "in_correction": jnp.zeros((), jnp.bool_),
+        }
+
+    def step(self, model_output, i, ts, sample, state, rng=None):
+        sig, sig_next = state["sigmas"][i], state["sigmas"][i + 1]
+        in_corr = state["in_correction"]
+
+        x0 = self._x0_from_sigma(model_output, sample, jnp.where(in_corr, sig_next, sig))
+        d = (sample - x0) / jnp.where(in_corr, sig_next, sig)
+        dt = sig_next - sig
+
+        # predictor: remember (sample, d); corrector: average derivatives
+        prev_pred = sample + d * dt
+        prev_corr = state["sample"] + 0.5 * (state["prev_derivative"] + d) * dt
+        do_heun = sig_next > 0
+        prev = jnp.where(
+            in_corr, prev_corr, jnp.where(do_heun, prev_pred, prev_pred)
+        )
+        new_state = dict(
+            state,
+            prev_derivative=jnp.where(in_corr, state["prev_derivative"], d),
+            sample=jnp.where(in_corr, state["sample"], sample),
+            in_correction=jnp.logical_and(jnp.logical_not(in_corr), do_heun),
+        )
+        return prev, new_state
+
+
+@dataclasses.dataclass(frozen=True)
+class DPMSolverMultistepScheduler(BaseScheduler):
+    """DPM-Solver++ (2M): 2nd-order multistep in log-SNR space."""
+
+    solver_order: int = 2
+
+    def init_state(self, num_inference_steps, shape):
+        ts = self.timesteps(num_inference_steps).astype(np.int64)
+        ac = self.alphas_cumprod[ts]
+        alpha_t = np.sqrt(ac)
+        sigma_t = np.sqrt(1 - ac)
+        lam = np.log(alpha_t) - np.log(sigma_t)
+        # append terminal (alpha=1, sigma->0): use last lambda + large gap
+        return {
+            "alpha": _to_f32(np.append(alpha_t, 1.0)),
+            "sigma": _to_f32(np.append(sigma_t, 1e-4)),
+            "lam": _to_f32(np.append(lam, np.log(1.0) - np.log(1e-4))),
+            "m0": jnp.zeros(shape, jnp.float32),  # previous x0 prediction
+            "have_m0": jnp.zeros((), jnp.bool_),
+        }
+
+    def step(self, model_output, i, ts, sample, state, rng=None):
+        ac = _to_f32(self.alphas_cumprod)
+        alpha_bar = ac[ts[i]]
+        x0 = self._pred_x0(model_output, sample, alpha_bar)
+
+        a_s, s_s, l_s = state["alpha"][i], state["sigma"][i], state["lam"][i]
+        a_t, s_t, l_t = state["alpha"][i + 1], state["sigma"][i + 1], state["lam"][i + 1]
+        h = l_t - l_s
+        # first-order (DPM-Solver++ 1S) update
+        first = (s_t / s_s) * sample - a_t * jnp.expm1(-h) * x0
+
+        # second-order correction using previous x0 (2M)
+        l_prev = state["lam"][jnp.maximum(i - 1, 0)]
+        h_prev = l_s - l_prev
+        r = jnp.where(h_prev != 0, h_prev / h, 1.0)
+        d1 = (x0 - state["m0"]) / jnp.where(r != 0, r, 1.0)
+        second = first - 0.5 * a_t * jnp.expm1(-h) * d1
+        use_second = jnp.logical_and(state["have_m0"], self.solver_order >= 2)
+        prev = jnp.where(use_second, second, first)
+        new_state = dict(state, m0=x0, have_m0=jnp.ones((), jnp.bool_))
+        return prev, new_state
+
+
+@dataclasses.dataclass(frozen=True)
+class DPMSolverSinglestepScheduler(DPMSolverMultistepScheduler):
+    """Singlestep variant; order-1 mode == DPM-Solver++(1S)."""
+
+    solver_order: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DEISMultistepScheduler(DPMSolverMultistepScheduler):
+    """DEIS; exponential-integrator multistep (order-2 ~ DPM++2M here)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class PNDMScheduler(DDIMScheduler):
+    """PNDM; plain (non-Runge-Kutta prologue) mode matches DDIM updates
+    with skip_prk_steps=True, the configuration the reference pipeline
+    uses for SD-style models."""
+
+
+@dataclasses.dataclass(frozen=True)
+class KDPM2AncestralDiscreteScheduler(EulerAncestralDiscreteScheduler):
+    """KDPM2 ancestral; ancestral Euler mode (2nd-order midpoint planned)."""
+
+
+SCHEDULERS = {
+    "DDIM": DDIMScheduler,
+    "DDPM": DDPMScheduler,
+    "EulerDiscrete": EulerDiscreteScheduler,
+    "EulerAncestralDiscrete": EulerAncestralDiscreteScheduler,
+    "HeunDiscrete": HeunDiscreteScheduler,
+    "DPMSolverMultistep": DPMSolverMultistepScheduler,
+    "DPMSolverSinglestep": DPMSolverSinglestepScheduler,
+    "DEISMultistep": DEISMultistepScheduler,
+    "PNDM": PNDMScheduler,
+    "KDPM2AncestralDiscrete": KDPM2AncestralDiscreteScheduler,
+}
+
+
+def get_scheduler(name: str, **kwargs):
+    """Factory covering the reference's scheduler menu
+    (`sample/sample_t2x.py:43-114`)."""
+    key = name.replace("Scheduler", "")
+    if key not in SCHEDULERS:
+        raise ValueError(f"unknown scheduler {name}; known: {sorted(SCHEDULERS)}")
+    cls = SCHEDULERS[key]
+    accepted = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in kwargs.items() if k in accepted})

@@ -110,6 +110,7 @@ class Latte(nn.Module):
     extras: int = 1
     attention_mode: str = "auto"
     gradient_checkpointing: bool = False
+    unroll_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -185,6 +186,7 @@ class Latte(nn.Module):
             split_rngs={"params": True},
             in_axes=(nn.broadcast, 0),
             length=n_pairs,
+            unroll=n_pairs if self.unroll_blocks else 1,
         )
         is_first = (jnp.arange(n_pairs) == 0).astype(self.dtype).reshape(n_pairs, 1, 1, 1)
         x, _ = PairScan(

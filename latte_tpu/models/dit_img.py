@@ -94,6 +94,7 @@ class LatteIMG(nn.Module):
     use_image_num: int = 0
     attention_mode: str = "auto"
     gradient_checkpointing: bool = False
+    unroll_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -166,6 +167,7 @@ class LatteIMG(nn.Module):
             split_rngs={"params": True},
             in_axes=(nn.broadcast, 0),
             length=n_pairs,
+            unroll=n_pairs if self.unroll_blocks else 1,
         )
         is_first = (jnp.arange(n_pairs) == 0).astype(self.dtype).reshape(n_pairs, 1, 1, 1)
         x, _ = PairScan(

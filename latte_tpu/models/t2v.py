@@ -317,6 +317,7 @@ class LatteT2V(nn.Module):
     attention_mode: str = "auto"
     enable_temporal_attentions: bool = True
     gradient_checkpointing: bool = False
+    unroll_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -392,6 +393,7 @@ class LatteT2V(nn.Module):
             split_rngs={"params": True},
             in_axes=(nn.broadcast, 0),
             length=n_pairs,
+            unroll=n_pairs if self.unroll_blocks else 1,
         )
         is_first = (jnp.arange(n_pairs) == 0).astype(self.dtype).reshape(n_pairs, 1, 1, 1)
         x, _ = PairScan(

@@ -1,0 +1,205 @@
+"""LattePipeline: text-to-video generation pipeline.
+
+Capability parity with `/root/reference/sample/pipeline_latte.py:71-798`:
+T5 prompt encoding with negative prompts, latent preparation scaled by the
+scheduler's ``init_noise_sigma``, a CFG denoising loop ([uncond ‖ cond]
+ordering, guidance on all channels, learned-sigma half dropped before the
+scheduler step), and three decode paths (per-frame image, per-frame video,
+chunked temporal decoder, chunk=14).
+
+TPU-native: the scheduler is a functional strategy object
+(:mod:`latte_tpu.core.scheduler`) whose state threads through the loop, so
+the loop runs either host-driven (one jitted step) or as a single
+`lax.scan` program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class VideoPipelineOutput:
+    video: np.ndarray  # (B, F, H, W, 3) float in [0, 1]
+
+
+class LattePipeline:
+    """T2V pipeline over (vae, text_encoder, transformer, scheduler).
+
+    ``transformer_params`` / ``vae_params`` are Flax param trees; the text
+    encoder is a :class:`latte_tpu.text.T5TextEncoder`.
+    """
+
+    def __init__(
+        self,
+        transformer,
+        transformer_params,
+        scheduler,
+        text_encoder=None,
+        vae=None,
+        vae_params=None,
+        temporal_decoder=None,
+        temporal_decoder_params=None,
+        vae_scale: float = 0.18215,
+        vae_spatial_scale: int = 8,
+    ):
+        self.transformer = transformer
+        self.transformer_params = transformer_params
+        self.scheduler = scheduler
+        self.text_encoder = text_encoder
+        self.vae = vae
+        self.vae_params = vae_params
+        self.temporal_decoder = temporal_decoder
+        self.temporal_decoder_params = temporal_decoder_params
+        self.vae_scale = vae_scale
+        self.vae_spatial_scale = vae_spatial_scale
+
+        def step_fn(params, latents, state, ctx, ctx_mask, i, ts, guidance_scale, do_cfg):
+            latent_in = jnp.concatenate([latents, latents]) if do_cfg else latents
+            latent_in = self.scheduler.scale_model_input(latent_in, i, state)
+            t = jnp.full((latent_in.shape[0],), ts[i], jnp.int32)
+            noise_pred = self.transformer.apply(
+                params, latent_in, t, ctx, ctx_mask
+            )
+            if do_cfg:
+                uncond, text = jnp.split(noise_pred, 2, axis=0)
+                noise_pred = uncond + guidance_scale * (text - uncond)
+            # learned sigma: keep the eps half only
+            c = latents.shape[1]
+            if noise_pred.shape[1] == 2 * c:
+                noise_pred = noise_pred[:, :c]
+            return self.scheduler.step(noise_pred, i, ts, latents, state)
+
+        # do_cfg / guidance static via two specializations
+        self._step = jax.jit(
+            lambda p, l, s, c, m, i, ts, g: step_fn(p, l, s, c, m, i, ts, g, True)
+        )
+        self._step_nocfg = jax.jit(
+            lambda p, l, s, c, m, i, ts, g: step_fn(p, l, s, c, m, i, ts, g, False)
+        )
+
+    # -- prompt encoding -------------------------------------------------
+    def encode_prompt(
+        self,
+        prompt: Sequence[str],
+        negative_prompt: str = "",
+        do_cfg: bool = True,
+        clean_caption: bool = True,
+    ):
+        assert self.text_encoder is not None, "pipeline built without text encoder"
+        cond, cond_mask, uncond, uncond_mask = self.text_encoder.encode_with_negative(
+            list(prompt), negative_prompt, clean=clean_caption
+        )
+        if do_cfg:
+            # [uncond ‖ cond] ordering (reference `pipeline_latte.py:283-285`)
+            return (
+                jnp.concatenate([uncond, cond], axis=0),
+                jnp.concatenate([uncond_mask, cond_mask], axis=0),
+            )
+        return cond, cond_mask
+
+    # -- latents ---------------------------------------------------------
+    def prepare_latents(
+        self, batch: int, channels: int, video_length: int, height: int, width: int, rng
+    ) -> jnp.ndarray:
+        f = self.vae_spatial_scale
+        shape = (batch, channels, video_length, height // f, width // f)
+        z = jax.random.normal(rng, shape, jnp.float32)
+        return z * self.scheduler.init_noise_sigma
+
+    # -- main ------------------------------------------------------------
+    def __call__(
+        self,
+        prompt: Union[str, Sequence[str]],
+        video_length: int = 16,
+        height: int = 512,
+        width: int = 512,
+        num_inference_steps: int = 50,
+        guidance_scale: float = 7.5,
+        negative_prompt: str = "",
+        seed: int = 0,
+        enable_temporal_attentions: bool = True,
+        enable_vae_temporal_decoder: bool = False,
+        output_type: str = "video",
+        clean_caption: bool = True,
+    ) -> VideoPipelineOutput:
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        batch = len(prompt)
+        do_cfg = guidance_scale > 1.0
+
+        ctx, ctx_mask = self.encode_prompt(
+            prompt, negative_prompt, do_cfg=do_cfg, clean_caption=clean_caption
+        )
+
+        rng = jax.random.PRNGKey(seed)
+        latents = self.prepare_latents(
+            batch, self.transformer.in_channels, video_length, height, width, rng
+        )
+
+        ts_np = self.scheduler.timesteps(num_inference_steps)
+        ts = jnp.asarray(ts_np, jnp.int32)
+        state = self.scheduler.init_state(num_inference_steps, latents.shape)
+        step = self._step if do_cfg else self._step_nocfg
+        g = jnp.float32(guidance_scale)
+        for i in range(num_inference_steps):
+            latents, state = step(
+                self.transformer_params, latents, state, ctx, ctx_mask,
+                jnp.int32(i), ts, g,
+            )
+
+        if output_type == "latents":
+            return VideoPipelineOutput(video=np.asarray(latents))
+
+        if latents.shape[2] == 1:
+            video = self.decode_latents_image(latents)
+        elif enable_vae_temporal_decoder and self.temporal_decoder is not None:
+            video = self.decode_latents_with_temporal_decoder(latents)
+        else:
+            video = self.decode_latents(latents)
+        return VideoPipelineOutput(video=video)
+
+    # -- decoding --------------------------------------------------------
+    def _decode_frames(self, flat: jnp.ndarray) -> np.ndarray:
+        decode = jax.jit(
+            lambda p, z: self.vae.apply(p, z, method=self.vae.decode)
+        )
+        return np.asarray(decode(self.vae_params, flat))
+
+    def decode_latents_image(self, latents) -> np.ndarray:
+        return self.decode_latents(latents)
+
+    def decode_latents(self, latents) -> np.ndarray:
+        """(B, C, F, h, w) -> (B, F, H, W, 3) in [0, 1], per-frame VAE."""
+        assert self.vae is not None, "pipeline built without VAE"
+        B, C, F, h, w = latents.shape
+        z = latents.transpose(0, 2, 1, 3, 4).reshape(B * F, C, h, w)
+        z = z / self.vae_scale
+        video = self._decode_frames(z)  # (B*F, 3, H, W)
+        video = video.reshape(B, F, *video.shape[1:]).transpose(0, 1, 3, 4, 2)
+        return (np.clip(video / 2 + 0.5, 0, 1)).astype(np.float32)
+
+    def decode_latents_with_temporal_decoder(self, latents) -> np.ndarray:
+        """Chunked SVD temporal decoder (chunk 14, reference
+        `pipeline_latte.py:785-792`)."""
+        assert self.temporal_decoder is not None
+        B, C, F = latents.shape[:3]
+        z = latents.transpose(0, 2, 1, 3, 4).reshape(B * F, C, *latents.shape[3:])
+        z = z / self.vae_scale
+        chunks, out = 14, []
+        decode = jax.jit(
+            lambda p, zz: self.temporal_decoder.apply(
+                p, zz, num_frames=zz.shape[0], method=self.temporal_decoder.decode
+            ),
+            static_argnums=(),
+        )
+        for s in range(0, z.shape[0], chunks):
+            out.append(np.asarray(decode(self.temporal_decoder_params, z[s : s + chunks])))
+        video = np.concatenate(out, axis=0)
+        video = video.reshape(B, F, *video.shape[1:]).transpose(0, 1, 3, 4, 2)
+        return (np.clip(video / 2 + 0.5, 0, 1)).astype(np.float32)

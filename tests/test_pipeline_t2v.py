@@ -1,0 +1,119 @@
+"""End-to-end LattePipeline test with tiny components."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latte_tpu.core.scheduler import get_scheduler
+from latte_tpu.models.t2v import LatteT2V
+from latte_tpu.sample.pipeline_t2v import LattePipeline
+from latte_tpu.vae.autoencoder_kl import tiny_vae
+
+
+class FakeTextEncoder:
+    """Deterministic embedding stand-in with the T5TextEncoder interface."""
+
+    def __init__(self, dim=64, max_length=10):
+        self.dim = dim
+        self.max_length = max_length
+
+    def _embed(self, prompts):
+        feats = np.zeros((len(prompts), self.max_length, self.dim), np.float32)
+        mask = np.zeros((len(prompts), self.max_length), np.int32)
+        for i, p in enumerate(prompts):
+            toks = p.split()[: self.max_length]
+            for j, w in enumerate(toks):
+                rng = np.random.default_rng(abs(hash(w)) % 2**31)
+                feats[i, j] = rng.standard_normal(self.dim)
+                mask[i, j] = 1
+        return jnp.asarray(feats), jnp.asarray(mask)
+
+    def encode_with_negative(self, prompts, negative_prompt="", clean=True):
+        c, cm = self._embed(prompts)
+        u, um = self._embed([negative_prompt] * len(prompts))
+        return c, cm, u, um
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    transformer = LatteT2V(
+        num_attention_heads=2,
+        attention_head_dim=8,
+        num_layers=2,
+        patch_size=2,
+        sample_size=4,
+        cross_attention_dim=16,
+        caption_channels=64,
+        video_length=4,
+        attention_mode="xla",
+    )
+    x = jnp.zeros((2, 4, 4, 8, 8))
+    t = jnp.zeros((2,), jnp.int32)
+    ctx = jnp.zeros((2, 10, 64))
+    params = transformer.init({"params": jax.random.PRNGKey(0)}, x, t, ctx, None)
+
+    vae = tiny_vae()
+    vae_params = vae.init({"params": jax.random.PRNGKey(1)}, jnp.zeros((1, 3, 16, 16)))
+
+    return LattePipeline(
+        transformer=transformer,
+        transformer_params=params,
+        scheduler=get_scheduler("DDIM"),
+        text_encoder=FakeTextEncoder(),
+        vae=vae,
+        vae_params=vae_params,
+        vae_spatial_scale=2,
+    )
+
+
+class TestLattePipeline:
+    def test_latents_output(self, pipeline):
+        out = pipeline(
+            "a cat on a skateboard",
+            video_length=4,
+            height=16,
+            width=16,
+            num_inference_steps=3,
+            guidance_scale=7.5,
+            output_type="latents",
+        )
+        assert out.video.shape == (1, 4, 4, 8, 8)
+        assert np.isfinite(out.video).all()
+
+    def test_video_output_decoded(self, pipeline):
+        out = pipeline(
+            ["a cat", "a dog"],
+            video_length=4,
+            height=16,
+            width=16,
+            num_inference_steps=2,
+            guidance_scale=1.0,  # no CFG path
+        )
+        assert out.video.shape == (2, 4, 16, 16, 3)
+        assert out.video.min() >= 0.0 and out.video.max() <= 1.0
+
+    def test_deterministic_given_seed(self, pipeline):
+        kw = dict(
+            video_length=4, height=16, width=16, num_inference_steps=2,
+            output_type="latents", seed=7,
+        )
+        a = pipeline("sunset", **kw).video
+        b = pipeline("sunset", **kw).video
+        np.testing.assert_array_equal(a, b)
+
+    def test_prompt_changes_output(self, pipeline):
+        kw = dict(
+            video_length=4, height=16, width=16, num_inference_steps=2,
+            output_type="latents", seed=7,
+        )
+        a = pipeline("sunset over the sea", **kw).video
+        b = pipeline("city at night", **kw).video
+        assert not np.allclose(a, b)
+
+    def test_single_frame_image_path(self, pipeline):
+        out = pipeline(
+            "a cactus", video_length=1, height=16, width=16,
+            num_inference_steps=2,
+        )
+        assert out.video.shape == (1, 1, 16, 16, 3)

@@ -1,0 +1,105 @@
+"""Scheduler-strategy tests: DDIM parity with the diffusion engine, and
+delta-distribution convergence for every registered scheduler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latte_tpu.core.diffusion import create_diffusion
+from latte_tpu.core.samplers import ddim_sample_loop
+from latte_tpu.core.scheduler import SCHEDULERS, get_scheduler
+
+SHAPE = (1, 2, 3, 4, 4)
+TARGET = 0.7  # delta-distribution data point
+
+
+def perfect_eps_model(scheduler):
+    """Oracle eps for data = delta(TARGET): eps = (x_t - sqrt(ab)c)/sqrt(1-ab)."""
+    ac = jnp.asarray(scheduler.alphas_cumprod, jnp.float32)
+
+    def model(x, t):
+        ab = ac[t].reshape((-1,) + (1,) * (x.ndim - 1))
+        return (x - jnp.sqrt(ab) * TARGET) / jnp.sqrt(1 - ab)
+
+    return model
+
+
+def run_scheduler(name, num_steps=25, rng_seed=0):
+    sched = get_scheduler(name)
+    model = perfect_eps_model(sched)
+    ts = jnp.asarray(sched.timesteps(num_steps), jnp.int32)
+    state = sched.init_state(num_steps, SHAPE)
+    rng = jax.random.PRNGKey(rng_seed)
+    x = jax.random.normal(rng, SHAPE) * sched.init_noise_sigma
+    i = 0
+    n_evals = {"HeunDiscrete": 2 * num_steps - 1}.get(name, num_steps)
+    for call in range(n_evals):
+        t = jnp.full((SHAPE[0],), ts[jnp.minimum(i, num_steps - 1)], jnp.int32)
+        model_in = sched.scale_model_input(x, jnp.int32(min(i, num_steps - 1)), state)
+        eps = model(model_in, t)
+        x, state = sched.step(
+            eps, jnp.int32(min(i, num_steps - 1)), ts, x, state,
+            rng=jax.random.fold_in(rng, call),
+        )
+        if name == "HeunDiscrete":
+            # advance index only after the corrector call (or terminal step)
+            if not bool(state["in_correction"]):
+                i += 1
+        else:
+            i += 1
+    return np.asarray(x)
+
+
+class TestSchedulers:
+    def test_registry_complete(self):
+        expected = {
+            "DDIM", "DDPM", "EulerDiscrete", "EulerAncestralDiscrete",
+            "HeunDiscrete", "DPMSolverMultistep", "DPMSolverSinglestep",
+            "DEISMultistep", "PNDM", "KDPM2AncestralDiscrete",
+        }
+        assert expected == set(SCHEDULERS)
+
+    @pytest.mark.parametrize("name", sorted(SCHEDULERS))
+    def test_converges_to_delta(self, name):
+        final = run_scheduler(name)
+        err = np.abs(final - TARGET).max()
+        tol = 0.15 if "Ancestral" in name or name == "DDPM" else 0.05
+        assert err < tol, f"{name}: max err {err}"
+
+    def test_ddim_matches_diffusion_engine(self):
+        """Scheduler DDIM == engine DDIM on the same respaced trajectory."""
+        steps = 10
+        sched = get_scheduler("DDIM")
+        engine = create_diffusion(
+            f"ddim{steps}", learn_sigma=False, predict_xstart=False
+        )
+        rng = jax.random.PRNGKey(1)
+        x0 = jax.random.normal(rng, SHAPE)
+
+        model = perfect_eps_model(sched)
+        engine_out = ddim_sample_loop(
+            engine, lambda x, t: model(x, t), x0, clip_denoised=False
+        )
+
+        ts = jnp.asarray(sched.timesteps(steps), jnp.int32)
+        state = sched.init_state(steps, SHAPE)
+        x = x0
+        for i in range(steps):
+            t = jnp.full((SHAPE[0],), ts[i], jnp.int32)
+            eps = model(x, t)
+            x, state = sched.step(eps, jnp.int32(i), ts, x, state)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(engine_out), rtol=2e-3, atol=2e-4)
+
+    def test_factory_full_names(self):
+        s = get_scheduler("DDIMScheduler", beta_start=1e-4, beta_end=0.02)
+        assert s.beta_start == 1e-4
+        with pytest.raises(ValueError):
+            get_scheduler("NoSuch")
+
+    def test_timesteps_descending(self):
+        for name in SCHEDULERS:
+            ts = get_scheduler(name).timesteps(20)
+            assert len(ts) == 20
+            assert (np.diff(ts) < 0).all()
+            assert ts.max() < 1000
