@@ -1,0 +1,116 @@
+"""Convert reference LatteT2V (diffusers-format) weights -> Flax params.
+
+Maps the torch module tree of `/root/reference/models/latte_t2v.py:444-676`
+(diffusers naming: ``transformer_blocks.N.attn1.to_q`` etc.) onto our
+scanned-pair layout (`latte_tpu/models/t2v.py`):
+
+- transformer_blocks.N          -> blocks/spatial  (stacked axis 0)
+- temporal_transformer_blocks.N -> blocks/temporal (stacked axis 0)
+- pos_embed.proj (conv)         -> pos_embed/proj Dense (C·p·p, D)
+- adaln_single.emb.timestep_embedder.linear_{1,2} -> adaln_single/emb/mlp_{0,2}
+- adaln_single.linear, caption_projection.linear_{1,2}, proj_out,
+  scale_shift_table (top-level (2, D) + per-block (6, D)) map directly
+- frozen buffers (temp_pos_embed, y_embedding) are dropped (recomputed /
+  negative prompts handled by the pipeline)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+from latte_tpu.tools.convert import _linear, _stack, _t
+
+__all__ = ["convert_t2v_state_dict"]
+
+
+def _attn(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    out = {
+        "to_q": _linear(sd, f"{prefix}.to_q"),
+        "to_k": _linear(sd, f"{prefix}.to_k"),
+        "to_v": _linear(sd, f"{prefix}.to_v"),
+        "to_out": _linear(sd, f"{prefix}.to_out.0"),
+    }
+    return out
+
+
+def _ff(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    return {
+        "net_0_proj": _linear(sd, f"{prefix}.net.0.proj"),
+        "net_2": _linear(sd, f"{prefix}.net.2"),
+    }
+
+
+def _spatial_block(sd, prefix):
+    return {
+        "scale_shift_table": np.asarray(sd[f"{prefix}.scale_shift_table"]),
+        "attn1": _attn(sd, f"{prefix}.attn1"),
+        "attn2": _attn(sd, f"{prefix}.attn2"),
+        "ff": _ff(sd, f"{prefix}.ff"),
+    }
+
+
+def _temporal_block(sd, prefix):
+    return {
+        "scale_shift_table": np.asarray(sd[f"{prefix}.scale_shift_table"]),
+        "attn1": _attn(sd, f"{prefix}.attn1"),
+        "ff": _ff(sd, f"{prefix}.ff"),
+    }
+
+
+def convert_t2v_state_dict(sd: Mapping[str, Any], num_layers: int) -> Dict[str, Any]:
+    sd = {
+        k: np.asarray(
+            getattr(v, "detach", lambda: v)().cpu().numpy() if hasattr(v, "detach") else v
+        )
+        for k, v in sd.items()
+    }
+    params: Dict[str, Any] = {}
+
+    w = sd["pos_embed.proj.weight"]  # (D, C, p, p)
+    params["pos_embed"] = {
+        "proj": {
+            "kernel": _t(w.reshape(w.shape[0], -1)),
+            "bias": sd["pos_embed.proj.bias"],
+        }
+    }
+    params["adaln_single"] = {
+        "emb": {
+            "mlp_0": _linear(sd, "adaln_single.emb.timestep_embedder.linear_1"),
+            "mlp_2": _linear(sd, "adaln_single.emb.timestep_embedder.linear_2"),
+        },
+        "linear": _linear(sd, "adaln_single.linear"),
+    }
+    params["caption_projection"] = {
+        "linear_1": _linear(sd, "caption_projection.linear_1"),
+        "linear_2": _linear(sd, "caption_projection.linear_2"),
+    }
+
+    spatial = [
+        _spatial_block(sd, f"transformer_blocks.{i}") for i in range(num_layers)
+    ]
+    temporal = [
+        _temporal_block(sd, f"temporal_transformer_blocks.{i}")
+        for i in range(num_layers)
+    ]
+    params["blocks"] = {"spatial": _stack(spatial), "temporal": _stack(temporal)}
+
+    params["scale_shift_table"] = np.asarray(sd["scale_shift_table"])
+    params["proj_out"] = _linear(sd, "proj_out")
+    return params
+
+
+def load_t2v_checkpoint(path: str, num_layers: int = 28) -> Dict[str, Any]:
+    """Load a torch .pt / safetensors LatteT2V checkpoint and convert."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+    else:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+    return convert_t2v_state_dict(sd, num_layers=num_layers)
