@@ -39,6 +39,7 @@ def make_train_step(
     start_clip_iter: int = 0,
     extras: int = 1,
     encode_fn: Optional[Callable] = None,
+    fixed_spatial: bool = False,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict]]:
     """Build the jittable train step.
 
@@ -85,6 +86,16 @@ def make_train_step(
             return jnp.mean(terms["loss"]), terms
 
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        if fixed_spatial:
+            # fine-tune only the temporal attention (reference
+            # `train_with_img.py:124-134`: everything but attn_temp frozen)
+            def mask(path, g):
+                keys = jax.tree_util.keystr(path)
+                keep = ("temporal" in keys) and ("attn" in keys)
+                return g if keep else jnp.zeros_like(g)
+
+            grads = jax.tree_util.tree_map_with_path(mask, grads)
 
         grad_norm = global_norm(grads)
         # Clip only once step >= start_clip_iter (reference behavior); the

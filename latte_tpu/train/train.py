@@ -213,6 +213,7 @@ def main(config: Config) -> dict:
         start_clip_iter=int(getattr(config, "start_clip_iter", 0) or 0),
         extras=extras,
         encode_fn=encode_fn,
+        fixed_spatial=bool(getattr(config, "fixed_spatial", False)),
     )
     jitted_step = jax.jit(train_step, donate_argnums=(0,))
 
