@@ -113,7 +113,14 @@ class TestFixedSpatial:
         optimizer = make_optimizer(lr=1e-2)
         x = jnp.zeros((1, 2, 4, 8, 8))
         variables = model.init({"params": jax.random.PRNGKey(0)}, x, jnp.zeros((1,), jnp.int32))
-        state = create_train_state(variables["params"], optimizer)
+        # perturb away from adaLN-Zero init (whose gates zero out attention
+        # grads); fine-tuning starts from pretrained weights in practice
+        keys = iter(jax.random.split(jax.random.PRNGKey(9), 10_000))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.02 * jax.random.normal(next(keys), a.shape, a.dtype),
+            variables["params"],
+        )
+        state = create_train_state(params, optimizer)
         step = jax.jit(
             make_train_step(model, diffusion, optimizer, fixed_spatial=True)
         )
