@@ -1,0 +1,69 @@
+"""Parameter sharding rules: data + tensor parallelism for the DiT stacks.
+
+The reference only does data parallelism (SURVEY.md §2.8); the TPU rebuild
+exposes a ``tp`` mesh axis as well. The rules implement the Megatron
+pattern on the scanned parameter layout:
+
+- qkv / fc1 / to_q,k,v / net_0_proj kernels: column-split (output dim over
+  ``tp``) — each shard computes its own attention heads / MLP columns;
+- proj / fc2 / to_out / net_2 kernels: row-split (input dim over ``tp``) —
+  XLA inserts the psum over ``tp`` after the matmul;
+- everything else replicated; batch sharded over ``dp``.
+
+Under `jit` with these in_shardings, SPMD propagation partitions every
+block matmul 1/tp per chip with exactly one all-reduce per attention and
+one per MLP — collectives ride ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path-suffix key, which dim of the kernel is sharded): -1 = last (column
+# parallel), -2 = second-to-last (row parallel).
+_COLUMN_KEYS = ("qkv", "fc1", "to_q", "to_k", "to_v", "net_0_proj")
+_ROW_KEYS = ("proj", "fc2", "to_out", "net_2")
+
+
+def _spec_for(path_keys, leaf) -> P:
+    rank = leaf.ndim
+    # only shard inside the scanned transformer blocks
+    if "blocks" not in path_keys:
+        return P()
+    name = None
+    for k in path_keys:
+        if k in _COLUMN_KEYS or k in _ROW_KEYS:
+            name = k
+    is_kernel = path_keys[-1] == "kernel"
+    is_bias = path_keys[-1] == "bias"
+    if name in _COLUMN_KEYS:
+        if is_kernel:
+            return P(*([None] * (rank - 1) + ["tp"]))
+        if is_bias:
+            return P(*([None] * (rank - 1) + ["tp"]))
+    if name in _ROW_KEYS and is_kernel and rank >= 2:
+        return P(*([None] * (rank - 2) + ["tp", None]))
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh):
+    """NamedSharding tree implementing dp-replicated, tp-split params."""
+
+    def rule(path, leaf):
+        keys = [
+            getattr(p, "key", getattr(p, "name", str(p)))
+            for p in path
+        ]
+        return NamedSharding(mesh, _spec_for(keys, leaf))
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(params: Any, mesh: Mesh):
+    """Place params on the mesh according to the TP rules."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, param_shardings(params, mesh)
+    )

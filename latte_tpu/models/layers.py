@@ -60,6 +60,10 @@ class Attention(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
+        # fused qkv with HEAD-MAJOR output layout (H, 3, hd): a tensor-
+        # parallel column split of the output dim then lands on whole
+        # heads (the torch converter permutes the reference's [q|k|v]
+        # row order accordingly)
         qkv = nn.Dense(
             self.dim * 3,
             use_bias=self.qkv_bias,
@@ -67,8 +71,8 @@ class Attention(nn.Module):
             kernel_init=xavier(),
             name="qkv",
         )(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
+        qkv = qkv.reshape(B, N, self.num_heads, 3, head_dim)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # (B, N, H, hd)
 
         mode = self.mode
         if mode == "auto":

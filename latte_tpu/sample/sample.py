@@ -90,7 +90,7 @@ def main(config: Config) -> str:
 
     ckpt = getattr(config, "ckpt", None)
     if ckpt and os.path.exists(ckpt):
-        params_tree = find_model(ckpt, depth=model.depth)
+        params_tree = find_model(ckpt, depth=model.depth, num_heads=model.num_heads)
         params = {"params": jax.tree_util.tree_map(jnp.asarray, params_tree)}
         logger.info(f"loaded checkpoint {ckpt}")
     else:

@@ -43,11 +43,27 @@ def _linear(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
     return out
 
 
-def _adaln_block(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+def _qkv_linear(sd: Mapping[str, np.ndarray], prefix: str, num_heads: int) -> Dict[str, np.ndarray]:
+    """Fused qkv with row order [q|k|v] -> head-major (H, 3, hd) layout
+    (our Attention's TP-friendly output ordering)."""
+    w = np.asarray(sd[f"{prefix}.weight"])  # (3D, D)
+    three_d, d = w.shape
+    hd = d // num_heads
+    w = w.reshape(3, num_heads, hd, d).transpose(3, 1, 0, 2).reshape(d, three_d)
+    out = {"kernel": np.ascontiguousarray(w)}
+    if f"{prefix}.bias" in sd:
+        b = np.asarray(sd[f"{prefix}.bias"]).reshape(3, num_heads, hd)
+        out["bias"] = np.ascontiguousarray(b.transpose(1, 0, 2).reshape(-1))
+    return out
+
+
+def _adaln_block(
+    sd: Mapping[str, np.ndarray], prefix: str, num_heads: int
+) -> Dict[str, Any]:
     """One reference TransformerBlock -> our AdaLNBlock param subtree."""
     return {
         "attn": {
-            "qkv": _linear(sd, f"{prefix}.attn.qkv"),
+            "qkv": _qkv_linear(sd, f"{prefix}.attn.qkv", num_heads),
             "proj": _linear(sd, f"{prefix}.attn.proj"),
         },
         "mlp": {
@@ -67,7 +83,7 @@ def _stack(blocks) -> Any:
 
 
 def convert_latte_state_dict(
-    sd: Mapping[str, Any], depth: int
+    sd: Mapping[str, Any], depth: int, num_heads: int = 16
 ) -> Dict[str, Any]:
     """Convert a reference Latte/LatteIMG state_dict to our Flax params tree.
 
@@ -101,8 +117,12 @@ def convert_latte_state_dict(
         )
 
     n_pairs = depth // 2
-    spatial = [_adaln_block(sd, f"blocks.{2 * i}") for i in range(n_pairs)]
-    temporal = [_adaln_block(sd, f"blocks.{2 * i + 1}") for i in range(n_pairs)]
+    spatial = [
+        _adaln_block(sd, f"blocks.{2 * i}", num_heads) for i in range(n_pairs)
+    ]
+    temporal = [
+        _adaln_block(sd, f"blocks.{2 * i + 1}", num_heads) for i in range(n_pairs)
+    ]
     params["blocks"] = {"spatial": _stack(spatial), "temporal": _stack(temporal)}
 
     params["final_layer"] = {
@@ -126,7 +146,9 @@ def load_torch_checkpoint(path: str, prefer_ema: bool = True) -> Dict[str, np.nd
     return {k: v.numpy() for k, v in ckpt.items()}
 
 
-def flax_to_reference_state_dict(params: Mapping[str, Any], depth: int) -> Dict[str, np.ndarray]:
+def flax_to_reference_state_dict(
+    params: Mapping[str, Any], depth: int, num_heads: int = 16
+) -> Dict[str, np.ndarray]:
     """Inverse mapping (for exporting checkpoints back to the reference
     format). Frozen sincos buffers are not emitted."""
     params = {k: v for k, v in params.items()}
@@ -153,11 +175,23 @@ def flax_to_reference_state_dict(params: Mapping[str, Any], depth: int) -> Dict[
             return {k: unstack(v, i) for k, v in tree.items()}
         return np.asarray(tree)[i]
 
+    def put_qkv(prefix, p):
+        k = np.asarray(p["kernel"])  # (D, 3D) head-major (H,3,hd)
+        d = k.shape[0]
+        hd = d // num_heads
+        w = k.reshape(d, num_heads, 3, hd).transpose(2, 1, 3, 0).reshape(3 * d, d)
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(w)
+        if "bias" in p:
+            b = np.asarray(p["bias"]).reshape(num_heads, 3, hd)
+            sd[f"{prefix}.bias"] = np.ascontiguousarray(
+                b.transpose(1, 0, 2).reshape(-1)
+            )
+
     n_pairs = depth // 2
     for i in range(n_pairs):
         for kind, ref_idx in (("spatial", 2 * i), ("temporal", 2 * i + 1)):
             blk = unstack(params["blocks"][kind], i)
-            put_linear(f"blocks.{ref_idx}.attn.qkv", blk["attn"]["qkv"])
+            put_qkv(f"blocks.{ref_idx}.attn.qkv", blk["attn"]["qkv"])
             put_linear(f"blocks.{ref_idx}.attn.proj", blk["attn"]["proj"])
             put_linear(f"blocks.{ref_idx}.mlp.fc1", blk["mlp"]["fc1"])
             put_linear(f"blocks.{ref_idx}.mlp.fc2", blk["mlp"]["fc2"])

@@ -51,7 +51,12 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, max(steps, key=int))
 
 
-def find_model(path: str, depth: Optional[int] = None, prefer_ema: bool = True):
+def find_model(
+    path: str,
+    depth: Optional[int] = None,
+    num_heads: int = 16,
+    prefer_ema: bool = True,
+):
     """Load inference params from either an orbax dir or a reference `.pt`.
 
     Returns a Flax params tree; prefers EMA weights when present.
@@ -65,4 +70,4 @@ def find_model(path: str, depth: Optional[int] = None, prefer_ema: bool = True):
 
     assert depth is not None, "depth required to convert a reference .pt checkpoint"
     sd = load_torch_checkpoint(path, prefer_ema=prefer_ema)
-    return convert_latte_state_dict(sd, depth=depth)
+    return convert_latte_state_dict(sd, depth=depth, num_heads=num_heads)

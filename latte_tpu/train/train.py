@@ -161,7 +161,7 @@ def main(config: Config) -> dict:
     if pretrained and os.path.exists(str(pretrained)):
         from latte_tpu.train.checkpoint import find_model
 
-        loaded = find_model(str(pretrained), depth=model.depth)
+        loaded = find_model(str(pretrained), depth=model.depth, num_heads=model.num_heads)
         flat_init = jax.tree_util.tree_leaves_with_path(params)
         loaded_flat = dict(jax.tree_util.tree_leaves_with_path(loaded))
         merged, skipped = [], 0

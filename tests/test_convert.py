@@ -67,7 +67,7 @@ def model_and_init():
 class TestConvert:
     def test_tree_structure_matches_init(self, rng_np):
         sd = make_reference_state_dict(rng_np)
-        params = convert_latte_state_dict(sd, depth=DEPTH)
+        params = convert_latte_state_dict(sd, depth=DEPTH, num_heads=HEADS)
         m, variables = model_and_init()
         ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, variables["params"])
         got_shapes = jax.tree_util.tree_map(lambda a: a.shape, params)
@@ -78,7 +78,7 @@ class TestConvert:
 
     def test_converted_params_run(self, rng_np):
         sd = make_reference_state_dict(rng_np)
-        params = convert_latte_state_dict(sd, depth=DEPTH)
+        params = convert_latte_state_dict(sd, depth=DEPTH, num_heads=HEADS)
         m, _ = model_and_init()
         x = jax.random.normal(jax.random.PRNGKey(2), (2, 4, INCH, 8, 8))
         out = m.apply(
@@ -93,7 +93,7 @@ class TestConvert:
     def test_linear_orientation(self, rng_np):
         """Dense(kernel) must equal torch's x @ W.T + b."""
         sd = make_reference_state_dict(rng_np)
-        params = convert_latte_state_dict(sd, depth=DEPTH)
+        params = convert_latte_state_dict(sd, depth=DEPTH, num_heads=HEADS)
         W = sd["t_embedder.mlp.0.weight"]
         b = sd["t_embedder.mlp.0.bias"]
         x = rng_np.standard_normal((3, 256)).astype(np.float32)
@@ -109,7 +109,7 @@ class TestConvert:
         import torch.nn.functional as tF
 
         sd = make_reference_state_dict(rng_np)
-        params = convert_latte_state_dict(sd, depth=DEPTH)
+        params = convert_latte_state_dict(sd, depth=DEPTH, num_heads=HEADS)
         x = rng_np.standard_normal((1, INCH, 8, 8)).astype(np.float32)
 
         conv = tF.conv2d(
@@ -131,8 +131,8 @@ class TestConvert:
 
     def test_roundtrip(self, rng_np):
         sd = make_reference_state_dict(rng_np)
-        params = convert_latte_state_dict(sd, depth=DEPTH)
-        back = flax_to_reference_state_dict(params, depth=DEPTH)
+        params = convert_latte_state_dict(sd, depth=DEPTH, num_heads=HEADS)
+        back = flax_to_reference_state_dict(params, depth=DEPTH, num_heads=HEADS)
         for k, v in back.items():
             if k == "x_embedder.proj.weight":
                 np.testing.assert_allclose(
@@ -140,3 +140,45 @@ class TestConvert:
                 )
             else:
                 np.testing.assert_allclose(v, sd[k], rtol=1e-6, err_msg=k)
+
+
+class TestQKVLayout:
+    def test_attention_matches_torch_fused_qkv(self, rng_np):
+        """Our head-major qkv layout must reproduce torch's [q|k|v] fused
+        attention exactly (independent torch-math oracle)."""
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        from latte_tpu.models.layers import Attention
+        from latte_tpu.tools.convert import _qkv_linear
+
+        D, H = HIDDEN, HEADS
+        hd = D // H
+        sd = {
+            "w.weight": rng_np.standard_normal((3 * D, D)).astype(np.float32),
+            "w.bias": rng_np.standard_normal((3 * D,)).astype(np.float32),
+        }
+        proj_w = rng_np.standard_normal((D, D)).astype(np.float32)
+        proj_b = rng_np.standard_normal((D,)).astype(np.float32)
+        x = rng_np.standard_normal((2, 5, D)).astype(np.float32)
+
+        # torch oracle: fused qkv -> (3, B, H, N, hd) -> softmax attention
+        xt = torch.from_numpy(x)
+        qkv = xt @ torch.from_numpy(sd["w.weight"]).T + torch.from_numpy(sd["w.bias"])
+        B, N, _ = x.shape
+        qkv = qkv.reshape(B, N, 3, H, hd).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = torch.softmax((q @ k.transpose(-2, -1)) * hd**-0.5, dim=-1)
+        ref = (attn @ v).transpose(1, 2).reshape(B, N, D)
+        ref = (ref @ torch.from_numpy(proj_w).T + torch.from_numpy(proj_b)).numpy()
+
+        params = {
+            "qkv": jax.tree_util.tree_map(jnp.asarray, _qkv_linear(sd, "w", H)),
+            "proj": {"kernel": jnp.asarray(proj_w.T), "bias": jnp.asarray(proj_b)},
+        }
+        ours = Attention(dim=D, num_heads=H, mode="xla").apply(
+            {"params": params}, jnp.asarray(x)
+        )
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=2e-4, atol=2e-5)
