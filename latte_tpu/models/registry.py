@@ -48,7 +48,9 @@ def get_models(args):
     optionally num_classes / attention_mode / gradient_checkpointing /
     use_image_num.
     """
-    latent_size = int(getattr(args, "image_size", 256)) // 8
+    latent_size = int(
+        getattr(args, "latent_size", 0) or int(getattr(args, "image_size", 256)) // 8
+    )
     common = dict(
         input_size=latent_size,
         num_frames=int(getattr(args, "num_frames", 16)),

@@ -78,7 +78,9 @@ def main(config: Config) -> str:
     if dtype != jnp.float32:
         model = model.clone(dtype=dtype)
 
-    latent = int(config.image_size) // 8
+    latent = int(
+        getattr(config, "latent_size", 0) or int(config.image_size) // 8
+    )
     frames = int(getattr(config, "num_frames", 16))
     seed = int(getattr(config, "seed", 0))
     rng = jax.random.PRNGKey(seed)

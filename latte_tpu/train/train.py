@@ -62,7 +62,9 @@ def make_batch_iterator(config, logger, global_batch: int):
     """Real dataset when data_path exists, else a synthetic latent stream
     (keeps the loop runnable for smoke tests and dry runs)."""
     data_path = str(getattr(config, "data_path", "") or "")
-    latent = int(config.image_size) // 8
+    latent = int(
+        getattr(config, "latent_size", 0) or int(config.image_size) // 8
+    )
     frames = int(getattr(config, "num_frames", 16)) + int(
         getattr(config, "use_image_num", 0) or 0
     )
@@ -139,7 +141,9 @@ def main(config: Config) -> dict:
     extras = int(getattr(config, "extras", 1))
     frames = int(getattr(config, "num_frames", 16))
     use_image_num = int(getattr(config, "use_image_num", 0) or 0)
-    latent = int(config.image_size) // 8
+    latent = int(
+        getattr(config, "latent_size", 0) or int(config.image_size) // 8
+    )
 
     # init params (jitted — eager dispatch is slow on remote TPU backends)
     x0 = jnp.zeros((1, frames + use_image_num, 4, latent, latent))
