@@ -134,9 +134,11 @@ def main(config: Config) -> dict:
     )
 
     n_dev = jax.device_count()
-    mesh = make_mesh(MeshConfig(dp=n_dev, tp=1))
+    tp = int(getattr(config, "tensor_parallel", 1) or 1)
+    assert n_dev % tp == 0, f"tensor_parallel={tp} must divide {n_dev} devices"
+    mesh = make_mesh(MeshConfig(dp=n_dev // tp, tp=tp))
     local_batch = int(getattr(config, "local_batch_size", 5))
-    global_batch = local_batch * n_dev
+    global_batch = local_batch * (n_dev // tp)
 
     extras = int(getattr(config, "extras", 1))
     frames = int(getattr(config, "num_frames", 16))
@@ -234,7 +236,18 @@ def main(config: Config) -> dict:
     rng = jax.random.PRNGKey(int(getattr(config, "global_seed", 0)))
 
     with mesh:
-        state = replicate(mesh, state)
+        if tp > 1:
+            from latte_tpu.dist.sharding import param_shardings
+
+            p_shard = param_shardings(state.params, mesh)
+            state = state.replace(
+                params=jax.tree_util.tree_map(jax.device_put, state.params, p_shard),
+                ema_params=jax.tree_util.tree_map(
+                    jax.device_put, state.ema_params, p_shard
+                ),
+            )
+        else:
+            state = replicate(mesh, state)
         running, t_start = [], time.perf_counter()
         last_metrics = {}
         for step_idx in range(start_step, max_steps):

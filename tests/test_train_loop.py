@@ -67,3 +67,14 @@ class TestTrainLoop:
         )
         out = main(cfg)
         assert np.isfinite(out["loss"])
+
+
+class TestTensorParallelTraining:
+    def test_tp2_loop_runs(self, tmp_path):
+        from latte_tpu.train.train import main
+
+        cfg = tiny_train_cfg(
+            tmp_path, tensor_parallel=2, max_train_steps=2, log_every=2, ckpt_every=100
+        )
+        out = main(cfg)
+        assert np.isfinite(out["loss"])
