@@ -30,12 +30,19 @@ from latte_tpu.utils import create_logger, save_video, to_uint8
 
 
 def build_sample_fn(model, params, config, diffusion):
-    """Return a jitted (z, y, rng) -> final-latents function."""
+    """Return a (z, y, rng) -> final-latents function.
+
+    ``loop_mode``: "scan" (default) compiles the whole trajectory into one
+    XLA program; "host" drives a Python loop over one jitted step —
+    required on remote-relay TPU backends whose compiler cannot handle
+    while-loops around the full model (docs/tpu_notes.md).
+    """
     use_cfg = (
         int(getattr(config, "extras", 1)) == 2
         and float(getattr(config, "cfg_scale", 1.0)) > 1.0
     )
     sample_method = str(getattr(config, "sample_method", "ddpm")).lower()
+    loop_mode = str(getattr(config, "loop_mode", "scan") or "scan")
 
     def model_fn(x, t, **kw):
         if use_cfg:
@@ -49,11 +56,15 @@ def build_sample_fn(model, params, config, diffusion):
         kwargs = {"y": y} if y is not None else {}
         if sample_method == "ddim":
             return ddim_sample_loop(
-                diffusion, model_fn, z, rng=rng, model_kwargs=kwargs
+                diffusion, model_fn, z, rng=rng, model_kwargs=kwargs, loop=loop_mode
             )
-        return p_sample_loop(diffusion, model_fn, z, rng=rng, model_kwargs=kwargs)
+        return p_sample_loop(
+            diffusion, model_fn, z, rng=rng, model_kwargs=kwargs, loop=loop_mode
+        )
 
-    return jax.jit(sample), use_cfg
+    # host mode manages its own per-step jit; jitting the outer fn would
+    # re-introduce the nested while-loop
+    return (sample if loop_mode == "host" else jax.jit(sample)), use_cfg
 
 
 def load_vae(config):

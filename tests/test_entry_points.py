@@ -133,3 +133,13 @@ class TestSampleEntry:
         files = sorted(os.listdir(out_dir))
         assert len(files) == 16
         assert files[0] == "0000.npz" and files[-1] == "0015.npz"
+
+    def test_sample_main_host_loop_matches_scan(self, tmp_path):
+        """loop_mode=host must produce identical latents to scan mode."""
+        from latte_tpu.sample.sample import main
+
+        out_scan = np.load(main(self._tiny_cfg(tmp_path)))["latents"]
+        cfg = self._tiny_cfg(tmp_path, loop_mode="host")
+        cfg.save_video_path = str(tmp_path / "host.mp4")
+        out_host = np.load(main(cfg))["latents"]
+        np.testing.assert_allclose(out_host, out_scan, rtol=1e-5, atol=1e-6)
