@@ -69,6 +69,7 @@ class DataLoader:
             epoch += 1
 
     def _worker(self, wid: int):
+        failures = 0
         while not self._stop.is_set():
             try:
                 i = self._index_q.get(timeout=0.2)
@@ -76,8 +77,18 @@ class DataLoader:
                 continue
             try:
                 sample = self.dataset[i]
+                failures = 0
             except Exception:
-                continue  # skip bad samples, like the reference retry loops
+                # skip bad samples like the reference retry loops — but a
+                # fully-broken dataset must surface, not hang the batcher
+                failures += 1
+                if failures >= 20:
+                    import traceback
+
+                    traceback.print_exc()
+                    self._stop.set()
+                    raise
+                continue
             self._sample_buffer.put(sample)
 
     def _batcher(self):

@@ -57,7 +57,7 @@ def resize(video: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
 
     h, w = size
     return np.stack(
-        [cv2.resize(f, (w, h), interpolation=cv2.INTER_BILINEAR) for f in video]
+        [cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR) for f in video]
     )
 
 

@@ -50,72 +50,89 @@ def attention_reference(q, k, v):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
-    q = q_ref[0].astype(jnp.float32) * scale  # (bq, D)
+    """Online-softmax attention for R independent rows at once.
+
+    Batching R (batch·head) rows per grid invocation amortizes the
+    per-invocation overhead that dominates at Latte's shapes (head_dim 72,
+    N 1024): 2048 tiny invocations -> BH/R larger ones.
+    """
+    q = q_ref[...].astype(jnp.float32) * scale  # (R, bq, D)
     seq_k = k_ref.shape[1]
     nk = seq_k // block_k
-    bq = q.shape[0]
+    R, bq, D = q.shape
 
-    acc = jnp.zeros((bq, q.shape[1]), jnp.float32)
-    m = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((R, bq, D), jnp.float32)
+    m = jnp.full((R, bq, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((R, bq, 1), jnp.float32)
 
     def body(j, carry):
         acc, m, l = carry
-        k_blk = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[:, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[:, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q,
             k_blk,
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (bq, bk)
+        )  # (R, bq, bk)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        pv = jax.lax.dot_general(
+            p,
+            v_blk,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * alpha + pv
         return acc, m_new, l
 
     acc, m, l = jax.lax.fori_loop(0, nk, body, (acc, m, l))
-    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    o_ref[...] = (acc / l).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, block_q: int, block_k: int, interpret: bool):
+def _flash_forward(
+    q, k, v, block_q: int, block_k: int, interpret: bool, rows: int = 4
+):
     B, N, H, D = q.shape
     scale = D**-0.5
-    # (B, N, H, D) -> (B*H, N, D): heads become independent grid rows.
+    # (B, N, H, D) -> (B*H, N, D): heads become independent rows.
     qr = q.transpose(0, 2, 1, 3).reshape(B * H, N, D)
     kr = k.transpose(0, 2, 1, 3).reshape(B * H, N, D)
     vr = v.transpose(0, 2, 1, 3).reshape(B * H, N, D)
 
-    grid = (B * H, N // block_q)
+    BH = B * H
+    while rows > 1 and BH % rows:
+        rows //= 2
+    grid = (BH // rows, N // block_q)
     kw = {} if _VMEM is None else {"memory_space": _VMEM}
     out = pl.pallas_call(
         functools.partial(_flash_kernel, block_k=block_k, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((B * H, N, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, N, D), q.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), **kw),
-            pl.BlockSpec((1, N, D), lambda b, i: (b, 0, 0), **kw),
-            pl.BlockSpec((1, N, D), lambda b, i: (b, 0, 0), **kw),
+            pl.BlockSpec((rows, block_q, D), lambda b, i: (b, i, 0), **kw),
+            pl.BlockSpec((rows, N, D), lambda b, i: (b, 0, 0), **kw),
+            pl.BlockSpec((rows, N, D), lambda b, i: (b, 0, 0), **kw),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0), **kw),
+        out_specs=pl.BlockSpec((rows, block_q, D), lambda b, i: (b, i, 0), **kw),
         interpret=interpret,
     )(qr, kr, vr)
     return out.reshape(B, H, N, D).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash(q, k, v, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, block_q, block_k, rows):
     interpret = jax.default_backend() != "tpu"
-    return _flash_forward(q, k, v, block_q, block_k, interpret)
+    return _flash_forward(q, k, v, block_q, block_k, interpret, rows=rows)
 
 
-def _flash_fwd(q, k, v, block_q, block_k):
-    return _flash(q, k, v, block_q, block_k), (q, k, v)
+def _flash_fwd(q, k, v, block_q, block_k, rows):
+    return _flash(q, k, v, block_q, block_k, rows), (q, k, v)
 
 
-def _flash_bwd(block_q, block_k, res, g):
+def _flash_bwd(block_q, block_k, rows, res, g):
     q, k, v = res
     _, vjp = jax.vjp(attention_reference, q, k, v)
     return vjp(g)
@@ -124,7 +141,7 @@ def _flash_bwd(block_q, block_k, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_attention(q, k, v, *, block_q: int = 256, block_k: int = 512):
+def flash_attention(q, k, v, *, block_q: int = 512, block_k: int = 512, rows: int = 1):
     """Flash attention over layout (B, N, H, D) -> (B, N, H, D).
 
     Falls back to the XLA reference for sequence lengths the block tiling
@@ -136,4 +153,4 @@ def flash_attention(q, k, v, *, block_q: int = 256, block_k: int = 512):
     block_k = min(block_k, N)
     if N % block_q or N % block_k:
         return attention_reference(q, k, v)
-    return _flash(q, k, v, block_q, block_k)
+    return _flash(q, k, v, block_q, block_k, rows)
