@@ -138,6 +138,29 @@ def main(config: Config) -> str:
     return out_dir
 
 
+
+
+def create_npz_from_sample_folder(sample_dir: str, num: int = 2048) -> str:
+    """Bundle generated samples into one .npz (reference
+    `sample_ddp.py:34-48` helper used for image-metric tooling)."""
+    import glob
+
+    from latte_tpu.utils import read_video
+
+    samples = []
+    files = sorted(glob.glob(os.path.join(sample_dir, "*.mp4")))[:num]
+    if files:
+        for fpath in files:
+            samples.append(read_video(fpath))
+    else:
+        for fpath in sorted(glob.glob(os.path.join(sample_dir, "*.npz")))[:num]:
+            samples.append(np.load(fpath)["latents"])
+    arr = np.stack(samples)
+    out = os.path.join(sample_dir, f"samples_{len(arr)}.npz")
+    np.savez(out, arr_0=arr)
+    return out
+
+
 def cli():
     p = argparse.ArgumentParser()
     p.add_argument("--config", required=True)

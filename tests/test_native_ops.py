@@ -103,3 +103,25 @@ class TestNativeParity:
             padding=pad, gain=1.5,
         )
         np.testing.assert_allclose(y_native, np.asarray(y_xla), rtol=1e-4, atol=1e-5)
+
+
+class TestConv2dResample:
+    def test_identity_filter(self, rng_np):
+        from latte_tpu.kernels.conv2d_resample import conv2d_resample
+
+        x = jnp.asarray(rng_np.standard_normal((1, 2, 8, 8)).astype(np.float32))
+        w = jnp.asarray(rng_np.standard_normal((3, 2, 1, 1)).astype(np.float32))
+        out = conv2d_resample(x, w)
+        assert out.shape == (1, 3, 8, 8)
+
+    def test_up_down_shapes(self, rng_np):
+        from latte_tpu.kernels.conv2d_resample import conv2d_resample
+        from latte_tpu.kernels.upfirdn import setup_filter
+
+        x = jnp.asarray(rng_np.standard_normal((1, 2, 8, 8)).astype(np.float32))
+        w = jnp.asarray(rng_np.standard_normal((2, 2, 3, 3)).astype(np.float32))
+        f = setup_filter([1.0, 2.0, 1.0])
+        up = conv2d_resample(x, w, f=f, up=2, padding=1)
+        assert up.shape == (1, 2, 16, 16)
+        down = conv2d_resample(x, w, f=f, down=2, padding=1)
+        assert down.shape == (1, 2, 4, 4)
