@@ -82,6 +82,10 @@ class LattePipeline:
         self._step_nocfg = jax.jit(
             lambda p, l, s, c, m, i, ts, g: step_fn(p, l, s, c, m, i, ts, g, False)
         )
+        if self.vae is not None:
+            self._decode_jit = jax.jit(
+                lambda p, z: self.vae.apply(p, z, method=self.vae.decode)
+            )
 
     # -- prompt encoding -------------------------------------------------
     def encode_prompt(
@@ -166,10 +170,7 @@ class LattePipeline:
 
     # -- decoding --------------------------------------------------------
     def _decode_frames(self, flat: jnp.ndarray) -> np.ndarray:
-        decode = jax.jit(
-            lambda p, z: self.vae.apply(p, z, method=self.vae.decode)
-        )
-        return np.asarray(decode(self.vae_params, flat))
+        return np.asarray(self._decode_jit(self.vae_params, flat))
 
     def decode_latents_image(self, latents) -> np.ndarray:
         return self.decode_latents(latents)

@@ -44,15 +44,15 @@ def build_sample_fn(model, params, config, diffusion):
     sample_method = str(getattr(config, "sample_method", "ddpm")).lower()
     loop_mode = str(getattr(config, "loop_mode", "scan") or "scan")
 
-    def model_fn(x, t, **kw):
-        if use_cfg:
-            return model.apply(
-                params, x, t, cfg_scale=float(config.cfg_scale),
-                method=model.forward_with_cfg, **kw,
-            )
-        return model.apply(params, x, t, **kw)
+    def sample_impl(p, z, y, rng):
+        def model_fn(x, t, **kw):
+            if use_cfg:
+                return model.apply(
+                    p, x, t, cfg_scale=float(config.cfg_scale),
+                    method=model.forward_with_cfg, **kw,
+                )
+            return model.apply(p, x, t, **kw)
 
-    def sample(z, y, rng):
         kwargs = {"y": y} if y is not None else {}
         if sample_method == "ddim":
             return ddim_sample_loop(
@@ -63,8 +63,14 @@ def build_sample_fn(model, params, config, diffusion):
         )
 
     # host mode manages its own per-step jit; jitting the outer fn would
-    # re-introduce the nested while-loop
-    return (sample if loop_mode == "host" else jax.jit(sample)), use_cfg
+    # re-introduce the nested while-loop. Params are an ARGUMENT of the
+    # jitted program — closing over device arrays bakes them into the HLO.
+    if loop_mode == "host":
+        fn = lambda z, y, rng: sample_impl(params, z, y, rng)
+    else:
+        jitted = jax.jit(sample_impl)
+        fn = lambda z, y, rng: jitted(params, z, y, rng)
+    return fn, use_cfg
 
 
 def load_vae(config):
@@ -144,8 +150,8 @@ def main(config: Config) -> str:
     if vae is not None:
         b, f = latents.shape[:2]
         flat = latents.reshape(b * f, *latents.shape[2:]) / 0.18215
-        decode = jax.jit(lambda zz: vae.apply(vae_params, zz, method=vae.decode))
-        video = np.asarray(decode(flat))  # (b*f, 3, H, W)
+        decode = jax.jit(lambda p, zz: vae.apply(p, zz, method=vae.decode))
+        video = np.asarray(decode(vae_params, flat))  # (b*f, 3, H, W)
         video = video.reshape(b, f, *video.shape[1:]).transpose(0, 1, 3, 4, 2)
         save_video(out_path, to_uint8(video[0]), fps=8)
         logger.info(f"saved video to {out_path}")

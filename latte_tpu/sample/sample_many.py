@@ -76,7 +76,8 @@ def main(config: Config) -> str:
     vae, vae_params = load_vae(config)
     decode = None
     if vae is not None:
-        decode = jax.jit(lambda zz: vae.apply(vae_params, zz, method=vae.decode))
+        decode_impl = jax.jit(lambda p, zz: vae.apply(p, zz, method=vae.decode))
+        decode = lambda zz: decode_impl(vae_params, zz)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -24,11 +24,14 @@ class FrozenCLIPEmbedder:
         self.params = params
         self.tokenizer = tokenizer
         self.max_length = max_length
-        self._encode = jax.jit(
-            lambda ids, mask: self.model.module.apply(
-                {"params": self.params}, input_ids=ids, attention_mask=mask
+        # params are a jit ARGUMENT: closing over the (multi-GB for XXL)
+        # weight tree would bake it into the HLO as constants
+        self._encode_impl = jax.jit(
+            lambda params, ids, mask: self.model.module.apply(
+                {"params": params}, input_ids=ids, attention_mask=mask
             ).last_hidden_state
         )
+        self._encode = lambda ids, mask: self._encode_impl(self.params, ids, mask)
 
     @classmethod
     def from_pretrained(cls, path: str, max_length: int = 77) -> "FrozenCLIPEmbedder":

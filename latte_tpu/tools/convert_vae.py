@@ -15,7 +15,7 @@ from typing import Any, Dict, Mapping
 
 import numpy as np
 
-__all__ = ["convert_vae_state_dict"]
+__all__ = ["convert_vae_state_dict", "convert_temporal_decoder_state_dict"]
 
 
 def _conv(sd, prefix):
@@ -119,3 +119,68 @@ def convert_vae_state_dict(
         "quant_conv": _dense_from_any(sd, "quant_conv"),
         "post_quant_conv": _dense_from_any(sd, "post_quant_conv"),
     }
+
+
+def _conv3d(sd, prefix):
+    """torch (O, I, kt, kh, kw) -> flax Conv kernel (kt, kh, kw, I, O)."""
+    w = np.asarray(sd[f"{prefix}.weight"])
+    return {
+        "kernel": np.ascontiguousarray(w.transpose(2, 3, 4, 1, 0)),
+        "bias": np.asarray(sd[f"{prefix}.bias"]),
+    }
+
+
+def _temporal_resnet(sd, prefix):
+    out = {
+        "norm1": _norm(sd, f"{prefix}.norm1"),
+        "conv1": _conv3d(sd, f"{prefix}.conv1"),
+        "norm2": _norm(sd, f"{prefix}.norm2"),
+        "conv2": _conv3d(sd, f"{prefix}.conv2"),
+    }
+    if f"{prefix}.conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv3d(sd, f"{prefix}.conv_shortcut")
+    return out
+
+
+def _st_resnet(sd, prefix):
+    """diffusers SpatioTemporalResBlock -> our SpatioTemporalResBlock tree."""
+    return {
+        "spatial_res_block": _resnet(sd, f"{prefix}.spatial_res_block"),
+        "temporal_res_block": _temporal_resnet(sd, f"{prefix}.temporal_res_block"),
+        "mix_factor": np.asarray(sd[f"{prefix}.time_mixer.mix_factor"]).reshape(1),
+    }
+
+
+def convert_temporal_decoder_state_dict(
+    sd: Mapping[str, Any], n_blocks: int = 4, layers_per_block: int = 3
+) -> Dict[str, Any]:
+    """diffusers AutoencoderKLTemporalDecoder decoder weights -> our
+    :class:`latte_tpu.vae.temporal_decoder.TemporalDecoder` params."""
+    sd = {
+        k: np.asarray(
+            getattr(v, "detach", lambda: v)().cpu().numpy() if hasattr(v, "detach") else v
+        )
+        for k, v in sd.items()
+    }
+    # accept either "decoder."-prefixed (full AutoencoderKL state) or bare
+    if any(k.startswith("decoder.") for k in sd):
+        sd = {k[len("decoder."):]: v for k, v in sd.items() if k.startswith("decoder.")}
+    out: Dict[str, Any] = {
+        "conv_in": _conv(sd, "conv_in"),
+        "mid_resnet_0": _st_resnet(sd, "mid_block.resnets.0"),
+        "mid_attn": _attn(sd, "mid_block.attentions.0"),
+        "mid_resnet_1": _st_resnet(sd, "mid_block.resnets.1"),
+        "conv_norm_out": _norm(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+        "time_conv_out": _conv3d(sd, "time_conv_out"),
+    }
+    for i in range(n_blocks):
+        for j in range(layers_per_block):
+            out[f"up_blocks_{i}_resnets_{j}"] = _st_resnet(
+                sd, f"up_blocks.{i}.resnets.{j}"
+            )
+        if f"up_blocks.{i}.upsamplers.0.conv.weight" in sd:
+            out[f"up_blocks_{i}_upsample"] = {
+                "conv": _conv(sd, f"up_blocks.{i}.upsamplers.0.conv")
+            }
+    return out

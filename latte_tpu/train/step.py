@@ -45,17 +45,21 @@ def make_train_step(
 
     ``batch``: {"latents": (B,F,C,H,W) fp32 VAE latents (already scaled),
     "y": optional (B,) int labels, "y_image": optional (B,I) labels}.
-    When ``encode_fn(video, rng) -> latents`` is given, the batch carries
-    raw pixels under "video" and VAE encoding fuses into the same XLA
-    program (the reference runs it as a separate no_grad pass,
-    `train.py:206-211`).
+    When ``encode_fn(video, rng, encode_params) -> latents`` is given, the
+    batch carries raw pixels under "video" and VAE encoding fuses into the
+    same XLA program (the reference runs it as a separate no_grad pass,
+    `train.py:206-211`); the frozen VAE params flow in as the
+    ``encode_params`` argument — closing over them would bake the weight
+    tree into the compiled HLO.
     """
 
-    def train_step(state: TrainState, batch, rng: jax.Array):
+    def train_step(state: TrainState, batch, rng: jax.Array, encode_params=None):
         rng = jax.random.fold_in(rng, state.step)
         rng_t, rng_noise, rng_drop, rng_vae = jax.random.split(rng, 4)
         if encode_fn is not None:
-            latents = jax.lax.stop_gradient(encode_fn(batch["video"], rng_vae))
+            latents = jax.lax.stop_gradient(
+                encode_fn(batch["video"], rng_vae, encode_params)
+            )
         else:
             latents = batch["latents"]
         B = latents.shape[0]

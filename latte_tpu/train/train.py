@@ -36,7 +36,8 @@ from latte_tpu.utils import create_experiment_dir, create_logger
 
 
 def build_encode_fn(config):
-    """Optional fused VAE encoder: (B,F,3,H,W) pixels -> scaled latents."""
+    """Optional fused VAE encoder: returns (encode_fn, frozen_vae_params)
+    or None. encode_fn(video, rng, params) -> scaled latents."""
     vae_ckpt = getattr(config, "vae_ckpt", None)
     if not vae_ckpt or not os.path.exists(str(vae_ckpt)):
         return None
@@ -48,14 +49,14 @@ def build_encode_fn(config):
     vae_params = {"params": ocp.PyTreeCheckpointer().restore(os.path.abspath(vae_ckpt))}
     scale = float(getattr(config, "vae_scale", 0.18215))
 
-    def encode(video, rng):
+    def encode(video, rng, params):
         B, F = video.shape[:2]
         flat = video.reshape(B * F, *video.shape[2:])
-        post = vae.apply(vae_params, flat, method=vae.encode)
+        post = vae.apply(params, flat, method=vae.encode)
         z = post.sample(rng) * scale
         return z.reshape(B, F, *z.shape[1:])
 
-    return encode
+    return encode, vae_params
 
 
 def make_batch_iterator(config, logger, global_batch: int):
@@ -209,7 +210,8 @@ def main(config: Config) -> dict:
             start_step = int(payload["step"])
             logger.info(f"resumed from {path} @ step {start_step}")
 
-    encode_fn = build_encode_fn(config)
+    built = build_encode_fn(config)
+    encode_fn, encode_params = built if built is not None else (None, None)
     train_step = make_train_step(
         model,
         diffusion,
@@ -222,6 +224,8 @@ def main(config: Config) -> dict:
         fixed_spatial=bool(getattr(config, "fixed_spatial", False)),
     )
     jitted_step = jax.jit(train_step, donate_argnums=(0,))
+    if encode_params is not None:
+        encode_params = jax.tree_util.tree_map(jnp.asarray, encode_params)
 
     batches, real_data = make_batch_iterator(config, logger, global_batch)
     if encode_fn is None and real_data:
@@ -252,7 +256,7 @@ def main(config: Config) -> dict:
         last_metrics = {}
         for step_idx in range(start_step, max_steps):
             batch = shard_batch(mesh, next(batches))
-            state, metrics = jitted_step(state, batch, rng)
+            state, metrics = jitted_step(state, batch, rng, encode_params)
             running.append(metrics)
             if (step_idx + 1) % log_every == 0:
                 # one host sync per log interval

@@ -49,14 +49,14 @@ def _tiny_build_encode_fn(config):
     vae = tiny_vae()
     vae_params = {"params": ocp.PyTreeCheckpointer().restore(os.path.abspath(vae_ckpt))}
 
-    def encode(video, rng):
+    def encode(video, rng, params):
         B, F = video.shape[:2]
         flat = video.reshape(B * F, *video.shape[2:])
-        post = vae.apply(vae_params, flat, method=vae.encode)
+        post = vae.apply(params, flat, method=vae.encode)
         z = post.sample(rng) * 0.18215
         return z.reshape(B, F, *z.shape[1:])
 
-    return encode
+    return encode, vae_params
 
 
 class TestEndToEnd:

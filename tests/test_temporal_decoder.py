@@ -50,3 +50,88 @@ class TestTemporalDecoder:
         v = blk.init({"params": jax.random.PRNGKey(0)}, x)
         out = blk.apply(v, x)
         assert out.shape == x.shape
+
+
+class TestTemporalDecoderConversion:
+    def _make_sd(self, rng, ch=(8, 16), layers=1, latent=4):
+        sd = {}
+
+        def conv(prefix, o, i, k=3):
+            sd[f"{prefix}.weight"] = rng.standard_normal((o, i, k, k)).astype(np.float32)
+            sd[f"{prefix}.bias"] = rng.standard_normal((o,)).astype(np.float32)
+
+        def conv3d(prefix, o, i, kt=3):
+            sd[f"{prefix}.weight"] = rng.standard_normal((o, i, kt, 1, 1)).astype(np.float32)
+            sd[f"{prefix}.bias"] = rng.standard_normal((o,)).astype(np.float32)
+
+        def norm(prefix, c):
+            sd[f"{prefix}.weight"] = rng.standard_normal((c,)).astype(np.float32)
+            sd[f"{prefix}.bias"] = rng.standard_normal((c,)).astype(np.float32)
+
+        def lin(prefix, o, i):
+            sd[f"{prefix}.weight"] = rng.standard_normal((o, i)).astype(np.float32)
+            sd[f"{prefix}.bias"] = rng.standard_normal((o,)).astype(np.float32)
+
+        def st_resnet(prefix, cin, cout):
+            norm(f"{prefix}.spatial_res_block.norm1", cin)
+            conv(f"{prefix}.spatial_res_block.conv1", cout, cin)
+            norm(f"{prefix}.spatial_res_block.norm2", cout)
+            conv(f"{prefix}.spatial_res_block.conv2", cout, cout)
+            if cin != cout:
+                conv(f"{prefix}.spatial_res_block.conv_shortcut", cout, cin, k=1)
+            norm(f"{prefix}.temporal_res_block.norm1", cout)
+            conv3d(f"{prefix}.temporal_res_block.conv1", cout, cout)
+            norm(f"{prefix}.temporal_res_block.norm2", cout)
+            conv3d(f"{prefix}.temporal_res_block.conv2", cout, cout)
+            sd[f"{prefix}.time_mixer.mix_factor"] = np.zeros((1,), np.float32)
+
+        rch = list(reversed(ch))  # (16, 8)
+        conv("decoder.conv_in", rch[0], latent)
+        st_resnet("decoder.mid_block.resnets.0", rch[0], rch[0])
+        norm("decoder.mid_block.attentions.0.group_norm", rch[0])
+        for n in ("to_q", "to_k", "to_v"):
+            lin(f"decoder.mid_block.attentions.0.{n}", rch[0], rch[0])
+        lin("decoder.mid_block.attentions.0.to_out.0", rch[0], rch[0])
+        st_resnet("decoder.mid_block.resnets.1", rch[0], rch[0])
+        cin = rch[0]
+        for i, c in enumerate(rch):
+            for j in range(1):
+                st_resnet(f"decoder.up_blocks.{i}.resnets.{j}", cin if j == 0 else c, c)
+            cin = c
+            if i != len(rch) - 1:
+                conv(f"decoder.up_blocks.{i}.upsamplers.0.conv", c, c)
+        norm("decoder.conv_norm_out", rch[-1])
+        conv("decoder.conv_out", 3, rch[-1])
+        conv3d("decoder.time_conv_out", 3, 3)
+        return sd
+
+    def test_structure_matches_init(self):
+        import numpy as _np
+
+        from latte_tpu.tools.convert_vae import convert_temporal_decoder_state_dict
+
+        rng = _np.random.default_rng(0)
+        sd = self._make_sd(rng)
+        params = convert_temporal_decoder_state_dict(sd, n_blocks=2, layers_per_block=1)
+        dec = tiny_temporal_decoder()
+        z = jnp.zeros((4, 4, 4, 4))
+        variables = dec.init({"params": jax.random.PRNGKey(0)}, z, num_frames=4)
+        ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, variables["params"])
+        got_shapes = jax.tree_util.tree_map(lambda a: _np.asarray(a).shape, params)
+        assert ref_shapes == got_shapes
+
+    def test_converted_runs(self):
+        import numpy as _np
+
+        from latte_tpu.tools.convert_vae import convert_temporal_decoder_state_dict
+
+        rng = _np.random.default_rng(1)
+        sd = self._make_sd(rng)
+        params = convert_temporal_decoder_state_dict(sd, n_blocks=2, layers_per_block=1)
+        dec = tiny_temporal_decoder()
+        z = jax.random.normal(jax.random.PRNGKey(2), (4, 4, 4, 4)) * 0.1
+        out = dec.apply(
+            {"params": jax.tree_util.tree_map(jnp.asarray, params)}, z, num_frames=4
+        )
+        assert out.shape == (4, 3, 8, 8)
+        assert _np.isfinite(_np.asarray(out)).all()
