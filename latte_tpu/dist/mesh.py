@@ -84,3 +84,14 @@ def initialize_distributed(
 
 def is_main_process() -> bool:
     return jax.process_index() == 0
+
+
+def barrier(name: str = "barrier") -> None:
+    """Cross-host synchronization point (the reference's `dist.barrier()`
+    around checkpointing, `train.py:271`). No-op single-process."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)

@@ -219,3 +219,49 @@ class TestFlashAttention:
         g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+class TestModelOptions:
+    def test_gradient_checkpointing_grads(self):
+        """remat'd blocks: identical loss/grads, trainable."""
+        m_plain = small_model()
+        m_remat = small_model(gradient_checkpointing=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 8, 8))
+        t = jnp.array([3])
+        params = m_plain.init({"params": jax.random.PRNGKey(1)}, x, t)
+
+        def loss(m, p):
+            return jnp.sum(m.apply(p, x, t) ** 2)
+
+        keys = iter(jax.random.split(jax.random.PRNGKey(2), 10_000))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.05 * jax.random.normal(next(keys), a.shape, a.dtype), params
+        )
+        l1, g1 = jax.value_and_grad(lambda p: loss(m_plain, p))(params)
+        l2, g2 = jax.value_and_grad(lambda p: loss(m_remat, p))(params)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    def test_unroll_blocks_matches_scan(self):
+        m_scan = small_model()
+        m_unroll = small_model(unroll_blocks=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 8, 8))
+        t = jnp.array([3])
+        params = m_scan.init({"params": jax.random.PRNGKey(1)}, x, t)
+        keys = iter(jax.random.split(jax.random.PRNGKey(2), 10_000))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.05 * jax.random.normal(next(keys), a.shape, a.dtype), params
+        )
+        o1 = m_scan.apply(params, x, t)
+        o2 = m_unroll.apply(params, x, t)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5, atol=1e-6)
+
+    def test_bf16_compute(self):
+        m = small_model(dtype=jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 8, 8))
+        t = jnp.array([3])
+        params = m.init({"params": jax.random.PRNGKey(1)}, x, t)
+        out = m.apply(params, x, t)
+        assert out.dtype == jnp.float32  # cast back to input dtype
+        assert np.isfinite(np.asarray(out)).all()
