@@ -108,6 +108,7 @@ class LatteIMG(nn.Module):
         t: jnp.ndarray,
         y: Optional[jnp.ndarray] = None,
         y_image: Optional[jnp.ndarray] = None,
+        text_embedding: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> jnp.ndarray:
         B, Ftot, C, H, W = x.shape
@@ -156,6 +157,22 @@ class LatteIMG(nn.Module):
                 y_spatial = jnp.repeat(y_emb, Ftot, axis=0)
             c_spatial = c_spatial + y_spatial
             c_temp = c_temp + jnp.repeat(y_emb, T, axis=0)
+        elif self.extras == 78:
+            # per-frame text conditioning (reference `latte_img.py:351-359`):
+            # text_embedding (B, 1+I, D_txt) — row 0 conditions all video
+            # frames, rows 1..I the joint still images
+            txt = nn.Dense(
+                self.hidden_size,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.xavier_uniform(),
+                name="text_embedding_projection",
+            )(nn.silu(text_embedding.astype(self.dtype)))
+            txt_video = jnp.repeat(txt[:, :1], Fv, axis=1)
+            txt_spatial = jnp.concatenate([txt_video, txt[:, 1:]], axis=1)
+            c_spatial = c_spatial + txt_spatial.reshape(B * Ftot, -1)
+            c_temp = c_temp + jnp.repeat(
+                txt[:, 0], T, axis=0
+            )
 
         n_pairs = self.depth // 2
         pair_cls = JointSpatioTemporalPair

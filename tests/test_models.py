@@ -265,3 +265,20 @@ class TestModelOptions:
         out = m.apply(params, x, t)
         assert out.dtype == jnp.float32  # cast back to input dtype
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestLatteIMGText:
+    def test_joint_text_conditioning(self):
+        m = LatteIMG(
+            input_size=8, patch_size=2, hidden_size=64, depth=4, num_heads=4,
+            num_frames=4, use_image_num=2, extras=78, attention_mode="xla",
+        )
+        x = jnp.zeros((2, 6, 4, 8, 8))  # 4 video + 2 images
+        t = jnp.array([1, 2])
+        txt = jnp.ones((2, 3, 32))  # 1 video row + 2 image rows
+        params = m.init(
+            {"params": jax.random.PRNGKey(0)}, x, t, text_embedding=txt, train=True
+        )
+        out = m.apply(params, x, t, text_embedding=txt, train=True)
+        assert out.shape == (2, 6, 8, 8, 8)
+        assert np.isfinite(np.asarray(out)).all()
