@@ -67,3 +67,30 @@ def shard_params(params: Any, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), params, param_shardings(params, mesh)
     )
+
+
+def zero1_opt_shardings(opt_state: Any, mesh: Mesh):
+    """ZeRO-1: shard optimizer moments over the ``dp`` axis.
+
+    Adam's mu/nu are elementwise, so any partitioning is valid; splitting
+    the leading axis over dp makes XLA reduce-scatter gradients into the
+    update and all-gather fresh params — 1/dp optimizer memory per chip.
+    Leaves whose leading axis doesn't divide dp stay replicated.
+    """
+    dp = mesh.shape["dp"]
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        # shard the largest dp-divisible axis (scanned params' leading axis
+        # is the small n_pairs dim; the hidden dims are the big ones)
+        best, best_size = None, 0
+        for axis, size in enumerate(shape):
+            if size % dp == 0 and size > best_size:
+                best, best_size = axis, size
+        if best is None or best_size < dp:
+            return NamedSharding(mesh, P())
+        spec = [None] * len(shape)
+        spec[best] = "dp"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(rule, opt_state)

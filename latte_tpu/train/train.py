@@ -239,19 +239,39 @@ def main(config: Config) -> dict:
     ckpt_every = int(getattr(config, "ckpt_every", 10000))
     rng = jax.random.PRNGKey(int(getattr(config, "global_seed", 0)))
 
+    zero1 = bool(getattr(config, "zero1", False))
     with mesh:
-        if tp > 1:
-            from latte_tpu.dist.sharding import param_shardings
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-            p_shard = param_shardings(state.params, mesh)
-            state = state.replace(
-                params=jax.tree_util.tree_map(jax.device_put, state.params, p_shard),
-                ema_params=jax.tree_util.tree_map(
-                    jax.device_put, state.ema_params, p_shard
-                ),
+        from latte_tpu.dist.sharding import param_shardings, zero1_opt_shardings
+        from latte_tpu.train.state import TrainState
+
+        rep = NamedSharding(mesh, P())
+        p_shard = (
+            param_shardings(state.params, mesh)
+            if tp > 1
+            else jax.tree_util.tree_map(lambda _: rep, state.params)
+        )
+        opt_shard = (
+            zero1_opt_shardings(state.opt_state, mesh)
+            if zero1
+            else jax.tree_util.tree_map(lambda _: rep, state.opt_state)
+        )
+        state_sh = TrainState(
+            step=rep, params=p_shard, ema_params=p_shard, opt_state=opt_shard
+        )
+        state = jax.tree_util.tree_map(jax.device_put, state, state_sh)
+        if tp > 1 or zero1:
+            # pin shardings through the step so ZeRO-1 moments stay
+            # dp-split and TP weights stay column/row-split across steps
+            jitted_step = jax.jit(
+                train_step,
+                in_shardings=(state_sh, NamedSharding(mesh, P("dp")), None, None)
+                if encode_params is None
+                else (state_sh, NamedSharding(mesh, P("dp")), None, rep),
+                out_shardings=(state_sh, None),
+                donate_argnums=(0,),
             )
-        else:
-            state = replicate(mesh, state)
         running, t_start = [], time.perf_counter()
         last_metrics = {}
         for step_idx in range(start_step, max_steps):

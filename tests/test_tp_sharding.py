@@ -62,3 +62,48 @@ class TestTPSharding:
             xs = jax.device_put(x, NamedSharding(mesh, P("dp")))
             out = jax.jit(lambda v, xx, tt: model.apply(v, xx, tt))(sharded, xs, t)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+class TestZero1:
+    def test_opt_state_sharded_training_step(self):
+        import optax
+
+        from latte_tpu.core.diffusion import create_diffusion
+        from latte_tpu.dist.sharding import zero1_opt_shardings
+        from latte_tpu.train import TrainState, create_train_state, make_train_step
+        from latte_tpu.train.state import make_optimizer
+
+        model = tiny_model()
+        variables = init_params(model)
+        diffusion = create_diffusion("", diffusion_steps=50)
+        optimizer = make_optimizer(lr=1e-3)
+        state = create_train_state(variables["params"], optimizer)
+        mesh = make_mesh(MeshConfig(dp=8, tp=1))
+
+        opt_sh = zero1_opt_shardings(state.opt_state, mesh)
+        rep = NamedSharding(mesh, P())
+        state_sh = TrainState(
+            step=rep,
+            params=jax.tree_util.tree_map(lambda _: rep, state.params),
+            ema_params=jax.tree_util.tree_map(lambda _: rep, state.ema_params),
+            opt_state=opt_sh,
+        )
+        with mesh:
+            state = jax.tree_util.tree_map(jax.device_put, state, state_sh)
+            step = jax.jit(
+                make_train_step(model, diffusion, optimizer),
+                in_shardings=(state_sh, NamedSharding(mesh, P("dp")), None),
+                out_shardings=(state_sh, None),
+                donate_argnums=(0,),
+            )
+            batch = jax.device_put(
+                jnp.ones((8, 2, 4, 8, 8)) * 0.1, NamedSharding(mesh, P("dp"))
+            )
+            new_state, metrics = step(state, {"latents": batch}, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        # a big moment leaf must actually be dp-sharded
+        mu = new_state.opt_state[0].mu["blocks"]["spatial"]["attn"]["qkv"]["kernel"]
+        assert not mu.sharding.is_fully_replicated
+        # params remain replicated
+        p = new_state.params["blocks"]["spatial"]["attn"]["qkv"]["kernel"]
+        assert p.sharding.is_fully_replicated

@@ -78,3 +78,24 @@ class TestTensorParallelTraining:
         )
         out = main(cfg)
         assert np.isfinite(out["loss"])
+
+
+class TestZero1Training:
+    def test_zero1_loop_runs(self, tmp_path):
+        from latte_tpu.train.train import main
+
+        cfg = tiny_train_cfg(
+            tmp_path, zero1=True, max_train_steps=2, log_every=2, ckpt_every=100
+        )
+        out = main(cfg)
+        assert np.isfinite(out["loss"])
+
+    def test_zero1_with_tp(self, tmp_path):
+        from latte_tpu.train.train import main
+
+        cfg = tiny_train_cfg(
+            tmp_path, zero1=True, tensor_parallel=2, max_train_steps=2,
+            log_every=2, ckpt_every=100,
+        )
+        out = main(cfg)
+        assert np.isfinite(out["loss"])
