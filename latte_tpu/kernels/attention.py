@@ -134,6 +134,25 @@ def _flash_fwd(q, k, v, block_q, block_k, rows):
 
 def _flash_bwd(block_q, block_k, rows, res, g):
     q, k, v = res
+    if jax.default_backend() == "tpu":
+        # identical math, but the gradient flows through jax's tuned TPU
+        # flash kernel (Pallas fwd+bwd, no N x N probs materialized)
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as jax_flash,
+        )
+
+        def f(q, k, v):
+            scale = q.shape[-1] ** -0.5
+            out = jax_flash(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                sm_scale=scale,
+            )
+            return out.transpose(0, 2, 1, 3)
+
+        _, vjp = jax.vjp(f, q, k, v)
+        return vjp(g)
     _, vjp = jax.vjp(attention_reference, q, k, v)
     return vjp(g)
 
