@@ -5,6 +5,15 @@ The reference runs Python for-loops over timesteps
 the whole denoising trajectory compiles to a single XLA while-loop so the
 model forward, the schedule algebra, and the per-step RNG all fuse with no
 host round-trips.
+
+``loop`` modes:
+- "scan": single XLA program (default; right for directly-attached pods).
+- "host": Python loop around one jitted step. Functionally identical;
+  required on remote-relay backends whose compiler cannot handle
+  while-loops around the full model (docs/tpu_notes.md). Pass
+  ``params`` + ``model_apply`` so the weights are an ARGUMENT of the
+  jitted step — a closure over device arrays bakes them into the HLO
+  as constants, which stalls compilation at full model scale.
 """
 
 from __future__ import annotations
@@ -25,53 +34,96 @@ __all__ = [
 ]
 
 
-def _run_loop(
-    step_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], Dict[str, jnp.ndarray]],
+def _noise_for(x, t_scalar, rng, noise_schedule):
+    """Per-step noise: recorded schedule > rng folded by timestep > zeros."""
+    if noise_schedule is not None:
+        return noise_schedule[t_scalar]
+    if rng is not None:
+        return jax.random.normal(
+            jax.random.fold_in(rng, t_scalar), x.shape, dtype=x.dtype
+        )
+    return jnp.zeros_like(x)
+
+
+def _sample_loop(
+    kind: str,
     diffusion: GaussianDiffusion,
+    model_fn: Optional[ModelFn],
     x_T: jnp.ndarray,
     rng: Optional[jax.Array],
-    noise_schedule: Optional[jnp.ndarray],
+    clip_denoised: bool,
+    denoised_fn,
+    cond_fn,
+    model_kwargs,
+    eta: float,
+    noise_schedule,
     collect_trajectory: bool,
-    loop: str = "scan",
+    loop: str,
+    params=None,
+    model_apply=None,
 ):
-    """Iterate `step_fn(x, t, noise)` over t = T-1 .. 0.
-
-    Per-step noise comes from ``rng`` (folded in by timestep) or from an
-    explicit ``noise_schedule`` of shape (T, *x.shape) — the latter enables
-    bit-parity tests against recorded reference noise.
-
-    ``loop``:
-      - "scan": the whole trajectory is one `lax.scan` — a single XLA
-        program, zero host round-trips (default; right for real pods).
-      - "host": a Python loop around one jitted step. Functionally
-        identical; avoids nested XLA while-loops (the model's scanned
-        block stack is itself a loop), which some remote-attached TPU
-        compilers handle poorly, at the cost of one dispatch per step.
-    """
-
-    def body(x, t_scalar):
-        if noise_schedule is not None:
-            noise = noise_schedule[t_scalar]
-        elif rng is not None:
-            noise = jax.random.normal(
-                jax.random.fold_in(rng, t_scalar), x.shape, dtype=x.dtype
+    def make_step(mf):
+        if kind == "ddim":
+            return partial(
+                diffusion.ddim_sample,
+                mf,
+                clip_denoised=clip_denoised,
+                denoised_fn=denoised_fn,
+                cond_fn=cond_fn,
+                model_kwargs=model_kwargs,
+                eta=eta,
             )
-        else:
-            noise = jnp.zeros_like(x)
-        t = jnp.full((x.shape[0],), t_scalar, dtype=jnp.int32)
-        out = step_fn(x, t, noise)
-        y = out["sample"] if collect_trajectory else None
-        return out["sample"], y
+        return partial(
+            diffusion.p_sample,
+            mf,
+            clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
+            cond_fn=cond_fn,
+            model_kwargs=model_kwargs,
+        )
 
     if loop == "host":
-        step = jax.jit(lambda x, t: body(x, t)[0])
-        x = x_T
-        traj = []
+        if params is not None and model_apply is not None:
+
+            def host_step(p, x, t_scalar):
+                mf = lambda xx, tt, **kw: model_apply(p, xx, tt, **kw)
+                t = jnp.full((x.shape[0],), t_scalar, dtype=jnp.int32)
+                noise = _noise_for(x, t_scalar, rng, noise_schedule)
+                return make_step(mf)(x, t, noise)["sample"]
+
+            jstep = jax.jit(host_step)
+            run = lambda x, ts: jstep(params, x, ts)
+        else:
+            # closure fallback: fine for small models/tests; large weight
+            # trees should use params/model_apply (see module docstring)
+            step = make_step(model_fn)
+
+            def closure_step(x, t_scalar):
+                t = jnp.full((x.shape[0],), t_scalar, dtype=jnp.int32)
+                noise = _noise_for(x, t_scalar, rng, noise_schedule)
+                return step(x, t, noise)["sample"]
+
+            jstep = jax.jit(closure_step)
+            run = jstep
+
+        x, traj = x_T, []
         for t_scalar in range(diffusion.num_timesteps - 1, -1, -1):
-            x = step(x, jnp.int32(t_scalar))
+            x = run(x, jnp.int32(t_scalar))
             if collect_trajectory:
                 traj.append(x)
         return (x, jnp.stack(traj)) if collect_trajectory else x
+
+    # scan mode: one XLA program over all timesteps
+    if model_fn is None:
+        assert params is not None and model_apply is not None
+        model_fn = lambda xx, tt, **kw: model_apply(params, xx, tt, **kw)
+    step = make_step(model_fn)
+
+    def body(x, t_scalar):
+        t = jnp.full((x.shape[0],), t_scalar, dtype=jnp.int32)
+        noise = _noise_for(x, t_scalar, rng, noise_schedule)
+        out = step(x, t, noise)
+        return out["sample"], (out["sample"] if collect_trajectory else None)
 
     ts = jnp.arange(diffusion.num_timesteps - 1, -1, -1, dtype=jnp.int32)
     final, traj = jax.lax.scan(body, x_T, ts)
@@ -80,7 +132,7 @@ def _run_loop(
 
 def p_sample_loop(
     diffusion: GaussianDiffusion,
-    model_fn: ModelFn,
+    model_fn: Optional[ModelFn],
     x_T: jnp.ndarray,
     rng: Optional[jax.Array] = None,
     clip_denoised: bool = True,
@@ -90,30 +142,20 @@ def p_sample_loop(
     noise_schedule: Optional[jnp.ndarray] = None,
     collect_trajectory: bool = False,
     loop: str = "scan",
+    params=None,
+    model_apply=None,
 ):
     """Ancestral DDPM sampling from pure noise x_T."""
-    step = partial(
-        diffusion.p_sample,
-        model_fn,
-        clip_denoised=clip_denoised,
-        denoised_fn=denoised_fn,
-        cond_fn=cond_fn,
-        model_kwargs=model_kwargs,
-    )
-    return _run_loop(
-        lambda x, t, n: step(x, t, n),
-        diffusion,
-        x_T,
-        rng,
-        noise_schedule,
-        collect_trajectory,
-        loop=loop,
+    return _sample_loop(
+        "ddpm", diffusion, model_fn, x_T, rng, clip_denoised, denoised_fn,
+        cond_fn, model_kwargs, 0.0, noise_schedule, collect_trajectory, loop,
+        params, model_apply,
     )
 
 
 def ddim_sample_loop(
     diffusion: GaussianDiffusion,
-    model_fn: ModelFn,
+    model_fn: Optional[ModelFn],
     x_T: jnp.ndarray,
     rng: Optional[jax.Array] = None,
     clip_denoised: bool = True,
@@ -124,25 +166,14 @@ def ddim_sample_loop(
     noise_schedule: Optional[jnp.ndarray] = None,
     collect_trajectory: bool = False,
     loop: str = "scan",
+    params=None,
+    model_apply=None,
 ):
     """DDIM sampling (deterministic at eta=0)."""
-    step = partial(
-        diffusion.ddim_sample,
-        model_fn,
-        clip_denoised=clip_denoised,
-        denoised_fn=denoised_fn,
-        cond_fn=cond_fn,
-        model_kwargs=model_kwargs,
-        eta=eta,
-    )
-    return _run_loop(
-        lambda x, t, n: step(x, t, n),
-        diffusion,
-        x_T,
-        rng,
-        noise_schedule,
-        collect_trajectory,
-        loop=loop,
+    return _sample_loop(
+        "ddim", diffusion, model_fn, x_T, rng, clip_denoised, denoised_fn,
+        cond_fn, model_kwargs, eta, noise_schedule, collect_trajectory, loop,
+        params, model_apply,
     )
 
 

@@ -44,27 +44,32 @@ def build_sample_fn(model, params, config, diffusion):
     sample_method = str(getattr(config, "sample_method", "ddpm")).lower()
     loop_mode = str(getattr(config, "loop_mode", "scan") or "scan")
 
-    def sample_impl(p, z, y, rng):
-        def model_fn(x, t, **kw):
-            if use_cfg:
-                return model.apply(
-                    p, x, t, cfg_scale=float(config.cfg_scale),
-                    method=model.forward_with_cfg, **kw,
-                )
-            return model.apply(p, x, t, **kw)
-
-        kwargs = {"y": y} if y is not None else {}
-        if sample_method == "ddim":
-            return ddim_sample_loop(
-                diffusion, model_fn, z, rng=rng, model_kwargs=kwargs, loop=loop_mode
+    def model_apply(p, x, t, **kw):
+        if use_cfg:
+            return model.apply(
+                p, x, t, cfg_scale=float(config.cfg_scale),
+                method=model.forward_with_cfg, **kw,
             )
-        return p_sample_loop(
-            diffusion, model_fn, z, rng=rng, model_kwargs=kwargs, loop=loop_mode
+        return model.apply(p, x, t, **kw)
+
+    def sample_impl(p, z, y, rng):
+        kwargs = {"y": y} if y is not None else {}
+        loop_fn = ddim_sample_loop if sample_method == "ddim" else p_sample_loop
+        return loop_fn(
+            diffusion,
+            None,
+            z,
+            rng=rng,
+            model_kwargs=kwargs,
+            loop=loop_mode,
+            params=p,
+            model_apply=model_apply,
         )
 
-    # host mode manages its own per-step jit; jitting the outer fn would
-    # re-introduce the nested while-loop. Params are an ARGUMENT of the
-    # jitted program — closing over device arrays bakes them into the HLO.
+    # Params are an ARGUMENT of the jitted program in both modes — closing
+    # over device arrays bakes them into the HLO. Host mode manages its own
+    # per-step jit; jitting the outer fn would re-introduce the nested
+    # while-loop.
     if loop_mode == "host":
         fn = lambda z, y, rng: sample_impl(params, z, y, rng)
     else:
