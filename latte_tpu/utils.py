@@ -209,3 +209,32 @@ def text_preprocessing(text, clean: bool = True) -> str:
     if clean:
         return clean_caption(text)
     return str(text).lower().strip()
+
+
+# ---------------------------------------------------------------------------
+# Reflection helpers (dnnlib parity: `tools/dnnlib/util.py:290-293`)
+# ---------------------------------------------------------------------------
+
+def get_obj_by_name(name: str):
+    """Resolve a dotted path like ``latte_tpu.models.Latte`` to the object."""
+    import importlib
+
+    parts = name.split(".")
+    for split in range(len(parts) - 1, 0, -1):
+        try:
+            module = importlib.import_module(".".join(parts[:split]))
+        except ImportError:
+            continue
+        obj = module
+        try:
+            for attr in parts[split:]:
+                obj = getattr(obj, attr)
+            return obj
+        except AttributeError:
+            continue
+    raise ImportError(f"cannot resolve {name!r}")
+
+
+def construct_class_by_name(class_name: str, *args, **kwargs):
+    """Instantiate a class from its dotted name (config-driven construction)."""
+    return get_obj_by_name(class_name)(*args, **kwargs)

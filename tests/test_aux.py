@@ -120,3 +120,19 @@ class TestVideoToFrames:
         assert n == 5
         files = sorted(os.listdir(dst / "a"))
         assert files[0] == "000000.jpg" and len(files) == 5
+
+
+class TestReflection:
+    def test_construct_class_by_name(self):
+        from latte_tpu.utils import construct_class_by_name, get_obj_by_name
+
+        m = construct_class_by_name(
+            "latte_tpu.models.Latte", hidden_size=32, depth=2, num_heads=2
+        )
+        assert m.hidden_size == 32
+        fn = get_obj_by_name("latte_tpu.core.schedules.get_named_beta_schedule")
+        assert fn("linear", 10).shape == (10,)
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError):
+            get_obj_by_name("latte_tpu.nope.missing")
