@@ -105,3 +105,22 @@ class TestLatteT2V:
         v = self._init(m, x, jnp.array([0]), jnp.ones((1, 10, 64)), None)
         q = v["params"]["blocks"]["spatial"]["attn1"]["to_q"]["kernel"]
         assert q.shape == (3, 32, 32)
+
+
+class TestT2VOptions:
+    def test_gradient_checkpointing_matches_plain(self):
+        m_plain = tiny_t2v()
+        m_remat = tiny_t2v(gradient_checkpointing=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 16, 16))
+        t = jnp.array([5])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 10, 64))
+        v = m_plain.init({"params": jax.random.PRNGKey(2)}, x, t, ctx, None)
+
+        def loss(m, p):
+            return jnp.sum(m.apply(p, x, t, ctx, None) ** 2)
+
+        l1, g1 = jax.value_and_grad(lambda p: loss(m_plain, p))(v)
+        l2, g2 = jax.value_and_grad(lambda p: loss(m_remat, p))(v)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
