@@ -36,8 +36,19 @@ STEPS = 50
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: repeat driver runs skip the ~20s compiles
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/latte_tpu_jax_cache"),
+        )
+    except Exception:
+        pass
 
     from latte_tpu.core.diffusion import create_diffusion
     from latte_tpu.models import get_model
