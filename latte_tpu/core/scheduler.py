@@ -8,11 +8,12 @@ explicit pytree threaded through `step`, so the whole sampling loop can
 live inside one jitted program.
 
 Implemented: DDIM, DDPM, EulerDiscrete, EulerAncestralDiscrete,
-HeunDiscrete, DPMSolverMultistep, PNDM (plain-DDIM tail mode),
-DEISMultistep (1st-order mode), DPMSolverSinglestep (1st-order = DPM
-multistep order 1), KDPM2AncestralDiscrete (ancestral Euler fallback).
-Higher-order refinements of the last four are planned; their names map to
-well-defined algorithms here so configs remain portable.
+HeunDiscrete (2nd-order predictor/corrector), DPMSolverMultistep
+(DPM-Solver++ 2M), DPMSolverSinglestep (DPM-Solver++ 2S), DEISMultistep
+(exponential-integrator multistep, 2M-mode), PNDM (plain-DDIM tail mode),
+KDPM2AncestralDiscrete (ancestral Euler mode; 2nd-order midpoint planned).
+Every name maps to a well-defined converging algorithm so configs remain
+portable.
 """
 
 from __future__ import annotations
@@ -292,9 +293,71 @@ class DPMSolverMultistepScheduler(BaseScheduler):
 
 @dataclasses.dataclass(frozen=True)
 class DPMSolverSinglestepScheduler(DPMSolverMultistepScheduler):
-    """Singlestep variant; order-1 mode == DPM-Solver++(1S)."""
+    """DPM-Solver++(2S): true singlestep second order.
 
-    solver_order: int = 1
+    Two model evaluations advance two grid intervals: the first (predictor)
+    call does a 1S update to the midpoint grid index, the second call
+    applies the 2S correction jumping from the saved start sample. Callers
+    alternate calls exactly like HeunDiscrete (`in_correction`); with an
+    odd number of evals the final step degrades to 1S.
+    """
+
+    solver_order: int = 2
+
+    def init_state(self, num_inference_steps, shape):
+        base = super().init_state(num_inference_steps, shape)
+        return {
+            "alpha": base["alpha"],
+            "sigma": base["sigma"],
+            "lam": base["lam"],
+            "x_s": jnp.zeros(shape, jnp.float32),
+            "x0_1": jnp.zeros(shape, jnp.float32),
+            "start_i": jnp.zeros((), jnp.int32),
+            "in_correction": jnp.zeros((), jnp.bool_),
+        }
+
+    def step(self, model_output, i, ts, sample, state, rng=None):
+        ac = _to_f32(self.alphas_cumprod)
+        n = ts.shape[0]
+        in_corr = state["in_correction"]
+
+        # ---------- predictor: 1S update i -> i+1 -----------------------
+        alpha_bar_i = ac[ts[i]]
+        x0_here = self._pred_x0(model_output, sample, alpha_bar_i)
+        a_s, s_s, l_s = state["alpha"][i], state["sigma"][i], state["lam"][i]
+        a_m, s_m, l_m = (
+            state["alpha"][i + 1],
+            state["sigma"][i + 1],
+            state["lam"][i + 1],
+        )
+        h1 = l_m - l_s
+        pred = (s_m / s_s) * sample - a_m * jnp.expm1(-h1) * x0_here
+
+        # ---------- corrector: 2S jump start_i -> i+1 --------------------
+        si = state["start_i"]
+        a_s0, s_s0, l_s0 = state["alpha"][si], state["sigma"][si], state["lam"][si]
+        a_t, s_t, l_t = state["alpha"][i + 1], state["sigma"][i + 1], state["lam"][i + 1]
+        h = l_t - l_s0
+        r = jnp.where(h != 0, (l_s - l_s0) / h, 0.5)  # l_s is the midpoint here
+        x0_1 = state["x0_1"]
+        d = (x0_here - x0_1) / jnp.where(r != 0, r, 1.0)
+        corr = (
+            (s_t / s_s0) * state["x_s"]
+            - a_t * jnp.expm1(-h) * x0_1
+            - 0.5 * a_t * jnp.expm1(-h) * d
+        )
+
+        # final-eval fallback: if this predictor has no following corrector
+        # (last call), the 1S update is already the answer.
+        prev = jnp.where(in_corr, corr, pred)
+        new_state = dict(
+            state,
+            x_s=jnp.where(in_corr, state["x_s"], sample),
+            x0_1=jnp.where(in_corr, state["x0_1"], x0_here),
+            start_i=jnp.where(in_corr, state["start_i"], i),
+            in_correction=jnp.logical_not(in_corr),
+        )
+        return prev, new_state
 
 
 @dataclasses.dataclass(frozen=True)

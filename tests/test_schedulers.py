@@ -103,3 +103,28 @@ class TestSchedulers:
             assert len(ts) == 20
             assert (np.diff(ts) < 0).all()
             assert ts.max() < 1000
+
+
+class TestSecondOrderAccuracy:
+    def test_dpm_2s_beats_first_order(self):
+        """With few steps, the 2S corrector should land closer to the delta
+        target than the pure first-order multistep's first-order mode."""
+        from latte_tpu.core.scheduler import (
+            DPMSolverMultistepScheduler,
+            DPMSolverSinglestepScheduler,
+        )
+
+        def run(sched, num_steps=6):
+            model = perfect_eps_model(sched)
+            ts = jnp.asarray(sched.timesteps(num_steps), jnp.int32)
+            state = sched.init_state(num_steps, SHAPE)
+            x = jax.random.normal(jax.random.PRNGKey(3), SHAPE)
+            for i in range(num_steps):
+                t = jnp.full((SHAPE[0],), ts[i], jnp.int32)
+                eps = model(sched.scale_model_input(x, jnp.int32(i), state), t)
+                x, state = sched.step(eps, jnp.int32(i), ts, x, state)
+            return float(np.abs(np.asarray(x) - TARGET).max())
+
+        err_1s = run(DPMSolverMultistepScheduler(solver_order=1))
+        err_2s = run(DPMSolverSinglestepScheduler())
+        assert err_2s < err_1s, (err_2s, err_1s)
