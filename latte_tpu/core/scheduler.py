@@ -11,7 +11,7 @@ Implemented: DDIM, DDPM, EulerDiscrete, EulerAncestralDiscrete,
 HeunDiscrete (2nd-order predictor/corrector), DPMSolverMultistep
 (DPM-Solver++ 2M), DPMSolverSinglestep (DPM-Solver++ 2S), DEISMultistep
 (exponential-integrator multistep, 2M-mode), PNDM (plain-DDIM tail mode),
-KDPM2AncestralDiscrete (ancestral Euler mode; 2nd-order midpoint planned).
+KDPM2AncestralDiscrete (2nd-order ancestral midpoint).
 Every name maps to a well-defined converging algorithm so configs remain
 portable.
 """
@@ -43,6 +43,9 @@ class BaseScheduler:
     beta_end: float = 0.02
     beta_schedule: str = "linear"
     prediction_type: str = "epsilon"
+    # two model evals per grid interval (predictor/corrector at the SAME
+    # index) — drivers repeat the index until state["in_correction"] clears
+    interleaved: bool = False
 
     def __post_init__(self):
         if self.beta_schedule == "linear":
@@ -209,11 +212,14 @@ class EulerAncestralDiscreteScheduler(_KarrasMixin, BaseScheduler):
 @dataclasses.dataclass(frozen=True)
 class HeunDiscreteScheduler(_KarrasMixin, BaseScheduler):
     """Heun's 2nd-order method; one extra model call folded via state.
+    ``interleaved=True``: drivers repeat the index for the corrector call.
 
     Functional formulation: `step` is called once per model evaluation;
     even calls are the Euler predictor, odd calls the Heun corrector
     (diffusers interleaves timesteps the same way).
     """
+
+    interleaved: bool = True
 
     def init_state(self, num_inference_steps, shape):
         return {
@@ -374,7 +380,73 @@ class PNDMScheduler(DDIMScheduler):
 
 @dataclasses.dataclass(frozen=True)
 class KDPM2AncestralDiscreteScheduler(EulerAncestralDiscreteScheduler):
-    """KDPM2 ancestral; ancestral Euler mode (2nd-order midpoint planned)."""
+    """KDPM2 ancestral: 2nd-order midpoint method with ancestral noise.
+
+    Two model evals per sigma interval (Heun-style interleave): the first
+    steps to the log-space midpoint of (sigma_i, sigma_down); the second
+    evaluates the derivative there and advances the SAVED sample to
+    sigma_down, then adds sigma_up ancestral noise. The terminal interval
+    (sigma_next == 0) falls back to a single Euler-ancestral step.
+    """
+
+    interleaved: bool = True
+
+    def init_state(self, num_inference_steps, shape):
+        base = super().init_state(num_inference_steps, shape)
+        return {
+            "sigmas": base["sigmas"],
+            "sample": jnp.zeros(shape, jnp.float32),
+            "in_correction": jnp.zeros((), jnp.bool_),
+        }
+
+    def _interval(self, state, i):
+        sig = state["sigmas"][i]
+        sig_next = state["sigmas"][i + 1]
+        sigma_up = jnp.sqrt(
+            jnp.clip(sig_next**2 * (sig**2 - sig_next**2) / sig**2, min=0.0)
+        )
+        sigma_down = jnp.sqrt(jnp.clip(sig_next**2 - sigma_up**2, min=0.0))
+        # log-space midpoint of (sig, sigma_down); guard the terminal 0
+        safe_down = jnp.maximum(sigma_down, 1e-10)
+        sigma_mid = jnp.exp(0.5 * (jnp.log(sig) + jnp.log(safe_down)))
+        return sig, sig_next, sigma_up, sigma_down, sigma_mid
+
+    def scale_model_input(self, sample, i, state) -> jnp.ndarray:
+        sig, _, _, _, sigma_mid = self._interval(state, i)
+        s = jnp.where(state["in_correction"], sigma_mid, sig)
+        return sample / jnp.sqrt(s**2 + 1)
+
+    def step(self, model_output, i, ts, sample, state, rng=None):
+        sig, sig_next, sigma_up, sigma_down, sigma_mid = self._interval(state, i)
+        in_corr = state["in_correction"]
+        terminal = sig_next <= 0.0
+
+        # predictor phase: derivative at sig, step to the midpoint
+        x0_p = self._x0_from_sigma(model_output, sample, sig)
+        d_p = (sample - x0_p) / sig
+        pred_mid = sample + d_p * (sigma_mid - sig)
+        # terminal fallback (single Euler-ancestral step to sigma_down=0)
+        pred_term = sample + d_p * (sigma_down - sig)
+
+        # corrector phase: derivative at the midpoint, advance saved sample
+        x0_c = self._x0_from_sigma(model_output, sample, sigma_mid)
+        d_c = (sample - x0_c) / jnp.maximum(sigma_mid, 1e-10)
+        corr = state["sample"] + d_c * (sigma_down - sig)
+
+        out = jnp.where(in_corr, corr, jnp.where(terminal, pred_term, pred_mid))
+        # ancestral noise applies when the interval completes
+        completes = jnp.logical_or(in_corr, terminal)
+        if rng is not None:
+            noise = jax.random.normal(rng, sample.shape, sample.dtype)
+            out = out + jnp.where(completes, sigma_up, 0.0) * noise
+        new_state = dict(
+            state,
+            sample=jnp.where(in_corr, state["sample"], sample),
+            in_correction=jnp.logical_and(
+                jnp.logical_not(in_corr), jnp.logical_not(terminal)
+            ),
+        )
+        return out, new_state
 
 
 SCHEDULERS = {

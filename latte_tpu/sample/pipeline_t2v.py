@@ -151,11 +151,18 @@ class LattePipeline:
         state = self.scheduler.init_state(num_inference_steps, latents.shape)
         step = self._step if do_cfg else self._step_nocfg
         g = jnp.float32(guidance_scale)
-        for i in range(num_inference_steps):
+        interleaved = bool(getattr(self.scheduler, "interleaved", False))
+        i = 0
+        calls = 0
+        while i < num_inference_steps and calls < 3 * num_inference_steps:
             latents, state = step(
                 self.transformer_params, latents, state, ctx, ctx_mask,
                 jnp.int32(i), ts, g,
             )
+            calls += 1
+            if interleaved and bool(state["in_correction"]):
+                continue  # corrector call repeats the same index
+            i += 1
 
         if output_type == "latents":
             return VideoPipelineOutput(video=np.asarray(latents))

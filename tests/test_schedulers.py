@@ -25,6 +25,11 @@ def perfect_eps_model(scheduler):
     return model
 
 
+# two-evals-per-interval schedulers: index advances only when the interval
+# completes (predictor/corrector pairs share the same i)
+INTERLEAVED = {"HeunDiscrete", "KDPM2AncestralDiscrete"}
+
+
 def run_scheduler(name, num_steps=25, rng_seed=0):
     sched = get_scheduler(name)
     model = perfect_eps_model(sched)
@@ -32,18 +37,17 @@ def run_scheduler(name, num_steps=25, rng_seed=0):
     state = sched.init_state(num_steps, SHAPE)
     rng = jax.random.PRNGKey(rng_seed)
     x = jax.random.normal(rng, SHAPE) * sched.init_noise_sigma
-    i = 0
-    n_evals = {"HeunDiscrete": 2 * num_steps - 1}.get(name, num_steps)
-    for call in range(n_evals):
-        t = jnp.full((SHAPE[0],), ts[jnp.minimum(i, num_steps - 1)], jnp.int32)
-        model_in = sched.scale_model_input(x, jnp.int32(min(i, num_steps - 1)), state)
+    i, calls = 0, 0
+    while i < num_steps and calls < 3 * num_steps:
+        idx = jnp.int32(min(i, num_steps - 1))
+        t = jnp.full((SHAPE[0],), ts[idx], jnp.int32)
+        model_in = sched.scale_model_input(x, idx, state)
         eps = model(model_in, t)
         x, state = sched.step(
-            eps, jnp.int32(min(i, num_steps - 1)), ts, x, state,
-            rng=jax.random.fold_in(rng, call),
+            eps, idx, ts, x, state, rng=jax.random.fold_in(rng, calls)
         )
-        if name == "HeunDiscrete":
-            # advance index only after the corrector call (or terminal step)
+        calls += 1
+        if name in INTERLEAVED:
             if not bool(state["in_correction"]):
                 i += 1
         else:
