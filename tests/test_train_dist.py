@@ -140,3 +140,12 @@ class TestGraftEntry:
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(4)
+
+    def test_dryrun_multichip_self_provisions(self):
+        """With only 8 visible devices, a 16-device dryrun must re-exec
+        itself in a subprocess with a 16-virtual-device CPU platform
+        (the driver's TPU-attached environment sees 1 device)."""
+        import __graft_entry__
+
+        assert len(jax.devices()) < 16
+        __graft_entry__.dryrun_multichip(16)
