@@ -68,8 +68,9 @@ class BaseScheduler:
         object.__setattr__(self, "alphas_cumprod", np.cumprod(1.0 - betas))
 
     # -- common API ------------------------------------------------------
-    @property
-    def init_noise_sigma(self) -> float:
+    def init_noise_sigma_for(self, num_inference_steps: int) -> float:
+        """Scale applied to the initial x_T draw (diffusers
+        ``init_noise_sigma``, a function of the actual step count)."""
         return 1.0
 
     def timesteps(self, num_inference_steps: int) -> np.ndarray:
@@ -165,9 +166,8 @@ class _KarrasMixin:
         sig = all_sigmas[ts]
         return np.append(sig, 0.0)  # terminal sigma 0
 
-    @property
-    def init_noise_sigma(self) -> float:
-        return float(np.sqrt(self.sigmas(getattr(self, "_n", 50))[0] ** 2 + 1))
+    def init_noise_sigma_for(self, num_inference_steps: int) -> float:
+        return float(np.sqrt(self.sigmas(num_inference_steps)[0] ** 2 + 1))
 
     def scale_model_input(self, sample, i, state) -> jnp.ndarray:
         sig = state["sigmas"][i]

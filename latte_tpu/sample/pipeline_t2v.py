@@ -59,7 +59,7 @@ class LattePipeline:
         self.vae_scale = vae_scale
         self.vae_spatial_scale = vae_spatial_scale
 
-        def step_fn(params, latents, state, ctx, ctx_mask, i, ts, guidance_scale, do_cfg):
+        def step_fn(params, latents, state, ctx, ctx_mask, i, ts, guidance_scale, rng, do_cfg):
             latent_in = jnp.concatenate([latents, latents]) if do_cfg else latents
             latent_in = self.scheduler.scale_model_input(latent_in, i, state)
             t = jnp.full((latent_in.shape[0],), ts[i], jnp.int32)
@@ -73,18 +73,31 @@ class LattePipeline:
             c = latents.shape[1]
             if noise_pred.shape[1] == 2 * c:
                 noise_pred = noise_pred[:, :c]
-            return self.scheduler.step(noise_pred, i, ts, latents, state)
+            # rng threads into every step so stochastic schedulers (DDPM,
+            # the ancestral family, DDIM eta>0) draw their noise term —
+            # the reference passes a generator into each scheduler.step
+            # (`pipeline_latte.py:724`).
+            return self.scheduler.step(noise_pred, i, ts, latents, state, rng=rng)
 
         # do_cfg / guidance static via two specializations
         self._step = jax.jit(
-            lambda p, l, s, c, m, i, ts, g: step_fn(p, l, s, c, m, i, ts, g, True)
+            lambda p, l, s, c, m, i, ts, g, r: step_fn(p, l, s, c, m, i, ts, g, r, True)
         )
         self._step_nocfg = jax.jit(
-            lambda p, l, s, c, m, i, ts, g: step_fn(p, l, s, c, m, i, ts, g, False)
+            lambda p, l, s, c, m, i, ts, g, r: step_fn(p, l, s, c, m, i, ts, g, r, False)
         )
         if self.vae is not None:
             self._decode_jit = jax.jit(
                 lambda p, z: self.vae.apply(p, z, method=self.vae.decode)
+            )
+        if self.temporal_decoder is not None:
+            # hoisted: one jitted callable reused across calls, so jax's
+            # jit cache persists (at most two shape specializations: the
+            # 14-frame chunk and the F % 14 remainder)
+            self._decode_temporal_jit = jax.jit(
+                lambda p, zz: self.temporal_decoder.apply(
+                    p, zz, num_frames=zz.shape[0], method=self.temporal_decoder.decode
+                )
             )
 
     # -- prompt encoding -------------------------------------------------
@@ -109,12 +122,19 @@ class LattePipeline:
 
     # -- latents ---------------------------------------------------------
     def prepare_latents(
-        self, batch: int, channels: int, video_length: int, height: int, width: int, rng
+        self,
+        batch: int,
+        channels: int,
+        video_length: int,
+        height: int,
+        width: int,
+        rng,
+        num_inference_steps: int = 50,
     ) -> jnp.ndarray:
         f = self.vae_spatial_scale
         shape = (batch, channels, video_length, height // f, width // f)
         z = jax.random.normal(rng, shape, jnp.float32)
-        return z * self.scheduler.init_noise_sigma
+        return z * self.scheduler.init_noise_sigma_for(num_inference_steps)
 
     # -- main ------------------------------------------------------------
     def __call__(
@@ -143,21 +163,23 @@ class LattePipeline:
 
         rng = jax.random.PRNGKey(seed)
         latents = self.prepare_latents(
-            batch, self.transformer.in_channels, video_length, height, width, rng
+            batch, self.transformer.in_channels, video_length, height, width, rng,
+            num_inference_steps=num_inference_steps,
         )
 
         ts_np = self.scheduler.timesteps(num_inference_steps)
         ts = jnp.asarray(ts_np, jnp.int32)
+        n_indices = int(ts_np.shape[0])  # may exceed num_inference_steps (PNDM prologue)
         state = self.scheduler.init_state(num_inference_steps, latents.shape)
         step = self._step if do_cfg else self._step_nocfg
         g = jnp.float32(guidance_scale)
         interleaved = bool(getattr(self.scheduler, "interleaved", False))
         i = 0
         calls = 0
-        while i < num_inference_steps and calls < 3 * num_inference_steps:
+        while i < n_indices and calls < 3 * n_indices:
             latents, state = step(
                 self.transformer_params, latents, state, ctx, ctx_mask,
-                jnp.int32(i), ts, g,
+                jnp.int32(i), ts, g, jax.random.fold_in(rng, calls + 1),
             )
             calls += 1
             if interleaved and bool(state["in_correction"]):
@@ -200,14 +222,14 @@ class LattePipeline:
         z = latents.transpose(0, 2, 1, 3, 4).reshape(B * F, C, *latents.shape[3:])
         z = z / self.vae_scale
         chunks, out = 14, []
-        decode = jax.jit(
-            lambda p, zz: self.temporal_decoder.apply(
-                p, zz, num_frames=zz.shape[0], method=self.temporal_decoder.decode
-            ),
-            static_argnums=(),
-        )
         for s in range(0, z.shape[0], chunks):
-            out.append(np.asarray(decode(self.temporal_decoder_params, z[s : s + chunks])))
+            out.append(
+                np.asarray(
+                    self._decode_temporal_jit(
+                        self.temporal_decoder_params, z[s : s + chunks]
+                    )
+                )
+            )
         video = np.concatenate(out, axis=0)
         video = video.reshape(B, F, *video.shape[1:]).transpose(0, 1, 3, 4, 2)
         return (np.clip(video / 2 + 0.5, 0, 1)).astype(np.float32)

@@ -36,7 +36,7 @@ def run_scheduler(name, num_steps=25, rng_seed=0):
     ts = jnp.asarray(sched.timesteps(num_steps), jnp.int32)
     state = sched.init_state(num_steps, SHAPE)
     rng = jax.random.PRNGKey(rng_seed)
-    x = jax.random.normal(rng, SHAPE) * sched.init_noise_sigma
+    x = jax.random.normal(rng, SHAPE) * sched.init_noise_sigma_for(num_steps)
     i, calls = 0, 0
     while i < num_steps and calls < 3 * num_steps:
         idx = jnp.int32(min(i, num_steps - 1))
@@ -100,6 +100,47 @@ class TestSchedulers:
         assert s.beta_start == 1e-4
         with pytest.raises(ValueError):
             get_scheduler("NoSuch")
+
+    def test_init_noise_sigma_tracks_step_count(self):
+        """Karras-family x_T scaling must use the ACTUAL step count: the
+        first retained sigma differs between 10- and 50-step grids."""
+        euler = get_scheduler("EulerDiscrete")
+        s10 = euler.init_noise_sigma_for(10)
+        s50 = euler.init_noise_sigma_for(50)
+        assert s10 != s50
+        assert s10 == pytest.approx(
+            float(np.sqrt(euler.sigmas(10)[0] ** 2 + 1))
+        )
+        # non-Karras schedulers scale by 1 regardless of step count
+        assert get_scheduler("DDIM").init_noise_sigma_for(10) == 1.0
+
+    def test_ancestral_noise_applied_with_rng(self):
+        """Stochastic schedulers must draw their noise term when given an
+        rng: two different keys must yield different trajectories."""
+        for name in ("DDPM", "EulerAncestralDiscrete"):
+            sched = get_scheduler(name)
+            model = perfect_eps_model(sched)
+            ts = jnp.asarray(sched.timesteps(8), jnp.int32)
+            state = sched.init_state(8, SHAPE)
+            x = jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+            x2 = x
+            state2 = state
+            # compare MID-trajectory: with the perfect delta-target model
+            # the final step is deterministic, so divergence shows before
+            # the trajectories re-collapse onto the target
+            for i in range(4):
+                t = jnp.full((SHAPE[0],), ts[i], jnp.int32)
+                eps = model(sched.scale_model_input(x, jnp.int32(i), state), t)
+                x, state = sched.step(
+                    eps, jnp.int32(i), ts, x, state,
+                    rng=jax.random.fold_in(jax.random.PRNGKey(100), i),
+                )
+                eps2 = model(sched.scale_model_input(x2, jnp.int32(i), state2), t)
+                x2, state2 = sched.step(
+                    eps2, jnp.int32(i), ts, x2, state2,
+                    rng=jax.random.fold_in(jax.random.PRNGKey(200), i),
+                )
+            assert not np.allclose(np.asarray(x), np.asarray(x2)), name
 
     def test_timesteps_descending(self):
         for name in SCHEDULERS:
