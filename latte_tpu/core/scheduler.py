@@ -10,10 +10,9 @@ live inside one jitted program.
 Implemented: DDIM, DDPM, EulerDiscrete, EulerAncestralDiscrete,
 HeunDiscrete (2nd-order predictor/corrector), DPMSolverMultistep
 (DPM-Solver++ 2M), DPMSolverSinglestep (DPM-Solver++ 2S), DEISMultistep
-(exponential-integrator multistep, 2M-mode), PNDM (plain-DDIM tail mode),
-KDPM2AncestralDiscrete (2nd-order ancestral midpoint).
-Every name maps to a well-defined converging algorithm so configs remain
-portable.
+(true DEIS logrho order-2 exponential integrator), PNDM (true PRK
+prologue + 4th-order PLMS body), KDPM2AncestralDiscrete (2nd-order
+ancestral midpoint).
 """
 
 from __future__ import annotations
@@ -368,14 +367,178 @@ class DPMSolverSinglestepScheduler(DPMSolverMultistepScheduler):
 
 @dataclasses.dataclass(frozen=True)
 class DEISMultistepScheduler(DPMSolverMultistepScheduler):
-    """DEIS; exponential-integrator multistep (order-2 ~ DPM++2M here)."""
+    """DEIS (Zhang & Chen 2022): exponential integrator with polynomial
+    extrapolation of the *epsilon* prediction in rho = sigma/alpha space
+    ("logrho" mode, order 2). Differs from DPM-Solver++ (which extrapolates
+    x0 in log-SNR space): the second-order coefficients come from exact
+    integration of the linear interpolant of eps over rho.
+    """
+
+    @staticmethod
+    def _ind_fn(t, b, c):
+        # Integrate[(log(x) - log(c)) / (log(b) - log(c)), {x, b, t}]
+        return t * (jnp.log(c) - jnp.log(t) + 1.0) / (jnp.log(c) - jnp.log(b))
+
+    def step(self, model_output, i, ts, sample, state, rng=None):
+        ac = _to_f32(self.alphas_cumprod)
+        alpha_bar = ac[ts[i]]
+        # extrapolate EPS, not x0 (convert whatever the model predicts)
+        eps = self._pred_eps(model_output, sample, alpha_bar)
+
+        a_s, s_s, l_s = state["alpha"][i], state["sigma"][i], state["lam"][i]
+        a_t, s_t, l_t = state["alpha"][i + 1], state["sigma"][i + 1], state["lam"][i + 1]
+        h = l_t - l_s
+        # first-order DEIS (== exponential Euler on eps; equals DDIM)
+        first = (a_t / a_s) * sample - s_t * jnp.expm1(h) * eps
+
+        # second-order: linear interpolant of eps through (rho_s1, m1),
+        # (rho_s0, m0), integrated exactly over [rho_s0, rho_t]
+        i_prev = jnp.maximum(i - 1, 0)
+        rho_t = s_t / a_t
+        rho_s0 = s_s / a_s
+        rho_s1 = state["sigma"][i_prev] / state["alpha"][i_prev]
+        coef1 = self._ind_fn(rho_t, rho_s0, rho_s1) - self._ind_fn(
+            rho_s0, rho_s0, rho_s1
+        )
+        coef2 = self._ind_fn(rho_t, rho_s1, rho_s0) - self._ind_fn(
+            rho_s0, rho_s1, rho_s0
+        )
+        second = a_t * (sample / a_s + coef1 * eps + coef2 * state["m0"])
+        use_second = jnp.logical_and(state["have_m0"], self.solver_order >= 2)
+        prev = jnp.where(use_second, second, first)
+        new_state = dict(state, m0=eps, have_m0=jnp.ones((), jnp.bool_))
+        return prev, new_state
 
 
 @dataclasses.dataclass(frozen=True)
-class PNDMScheduler(DDIMScheduler):
-    """PNDM; plain (non-Runge-Kutta prologue) mode matches DDIM updates
-    with skip_prk_steps=True, the configuration the reference pipeline
-    uses for SD-style models."""
+class PNDMScheduler(BaseScheduler):
+    """PNDM (Liu et al. 2022, "Pseudo Numerical Methods for Diffusion
+    Models"): pseudo Runge-Kutta (PRK) prologue bootstrapping a 4th-order
+    pseudo linear multistep (PLMS / Adams-Bashforth) body.
+
+    ``timesteps(n)`` returns the EVAL sequence (one model call per entry):
+    with the prologue, 12 PRK evals (3 RK4 groups over the 3 highest
+    intervals) followed by n-3 PLMS evals; with ``skip_prk_steps`` the
+    PLMS warmup duplicates the second timestep (Heun-like corrector)
+    giving n+1 evals. Each call advances the loop index by one — the state
+    machine (ets ring buffer, RK accumulator) keys off the index.
+    """
+
+    skip_prk_steps: bool = False
+    set_alpha_to_one: bool = False
+
+    def _base_grid(self, num_inference_steps: int):
+        step = self.num_train_timesteps // num_inference_steps
+        grid = (np.arange(num_inference_steps) * step).round().astype(np.int64)
+        return grid, step
+
+    def timesteps(self, num_inference_steps: int) -> np.ndarray:
+        grid, step = self._base_grid(num_inference_steps)
+        if self.skip_prk_steps:
+            seq = np.concatenate([grid[:-1], grid[-2:-1], grid[-1:]])[::-1]
+        else:
+            assert num_inference_steps >= 4, "PNDM prologue needs >= 4 steps"
+            prk = np.array(grid[-4:]).repeat(2) + np.tile(
+                np.array([0, step // 2]), 4
+            )
+            prk = (prk[:-1].repeat(2)[1:-1])[::-1]
+            seq = np.concatenate([prk, grid[:-3][::-1]])
+        return seq.astype(np.int64)
+
+    def init_state(self, num_inference_steps, shape):
+        _, step = self._base_grid(num_inference_steps)
+        shape = tuple(shape)
+        return {
+            "ets": jnp.zeros((4,) + shape, jnp.float32),  # ring, newest last
+            "n_ets": jnp.zeros((), jnp.int32),
+            "cur_model_output": jnp.zeros(shape, jnp.float32),
+            "cur_sample": jnp.zeros(shape, jnp.float32),
+            "step_ratio": jnp.int32(step),
+        }
+
+    def _prev_sample(self, sample, t, prev_t, model_output):
+        """The PNDM transfer step phi(x, t, t_prev, eps) — eq. (11) of the
+        paper; matches diffusers ``PNDMScheduler._get_prev_sample``."""
+        ac = _to_f32(self.alphas_cumprod)
+        final_ac = 1.0 if self.set_alpha_to_one else float(self.alphas_cumprod[0])
+        alpha_t = ac[jnp.clip(t, 0, self.num_train_timesteps - 1)]
+        alpha_prev = jnp.where(
+            prev_t >= 0, ac[jnp.clip(prev_t, 0, self.num_train_timesteps - 1)], final_ac
+        )
+        beta_t = 1 - alpha_t
+        beta_prev = 1 - alpha_prev
+        mo = model_output
+        if self.prediction_type == "v_prediction":
+            mo = jnp.sqrt(alpha_t) * mo + jnp.sqrt(beta_t) * sample
+        sample_coeff = jnp.sqrt(alpha_prev / alpha_t)
+        denom = alpha_t * jnp.sqrt(beta_prev) + jnp.sqrt(
+            alpha_t * beta_t * alpha_prev
+        )
+        return sample_coeff * sample - (alpha_prev - alpha_t) * mo / denom
+
+    def step(self, model_output, i, ts, sample, state, rng=None):
+        step_ratio = state["step_ratio"]
+        t_eval = ts[i]
+        ets, n_ets = state["ets"], state["n_ets"]
+        cmo, cur_sample = state["cur_model_output"], state["cur_sample"]
+
+        # ---------------- PLMS branch (Adams-Bashforth up to order 4) ----
+        plms_append = i != 1  # counter==1 re-steps with averaged eps
+        ets_after = jnp.where(
+            plms_append, jnp.concatenate([ets[1:], model_output[None]]), ets
+        )
+        n_after = jnp.minimum(n_ets + plms_append.astype(jnp.int32), 4)
+        e1, e2, e3, e4 = ets_after[3], ets_after[2], ets_after[1], ets_after[0]
+        mo_ab2 = (3 * e1 - e2) / 2
+        mo_ab3 = (23 * e1 - 16 * e2 + 5 * e3) / 12
+        mo_ab4 = (55 * e1 - 59 * e2 + 37 * e3 - 9 * e4) / 24
+        mo_warm = jnp.where(
+            i == 0, model_output, (model_output + e1) / 2  # i==1: avg corrector
+        )
+        used_mo = jnp.where(
+            n_after == 1, mo_warm,
+            jnp.where(n_after == 2, mo_ab2, jnp.where(n_after == 3, mo_ab3, mo_ab4)),
+        )
+        plms_t = jnp.where(i == 1, t_eval + step_ratio, t_eval)
+        plms_prev_t = jnp.where(i == 1, t_eval, t_eval - step_ratio)
+        plms_sample = jnp.where(i == 1, cur_sample, sample)
+        plms_prev = self._prev_sample(plms_sample, plms_t, plms_prev_t, used_mo)
+        plms_cur_sample = jnp.where(i == 0, sample, cur_sample)
+
+        if self.skip_prk_steps:
+            new_state = dict(
+                state, ets=ets_after, n_ets=n_after, cur_sample=plms_cur_sample
+            )
+            return plms_prev, new_state
+
+        # ---------------- PRK branch (i < 12: three RK4 groups) ----------
+        k = i % 4
+        half = step_ratio // 2
+        prk_prev_t = t_eval - jnp.where(i % 2 == 0, half, 0)
+        prk_t = ts[jnp.clip((i // 4) * 4, 0, ts.shape[0] - 1)]
+        prk_cmo = jnp.where(
+            k == 0, cmo + model_output / 6,
+            jnp.where(k == 3, jnp.zeros_like(cmo), cmo + model_output / 3),
+        )
+        prk_used_mo = jnp.where(k == 3, cmo + model_output / 6, model_output)
+        prk_cur_sample = jnp.where(k == 0, sample, cur_sample)
+        prk_prev = self._prev_sample(prk_cur_sample, prk_t, prk_prev_t, prk_used_mo)
+        prk_append = k == 0
+        prk_ets = jnp.where(
+            prk_append, jnp.concatenate([ets[1:], model_output[None]]), ets
+        )
+        prk_n = jnp.minimum(n_ets + prk_append.astype(jnp.int32), 4)
+
+        is_prk = i < 12
+        prev = jnp.where(is_prk, prk_prev, plms_prev)
+        new_state = dict(
+            state,
+            ets=jnp.where(is_prk, prk_ets, ets_after),
+            n_ets=jnp.where(is_prk, prk_n, n_after),
+            cur_model_output=jnp.where(is_prk, prk_cmo, jnp.zeros_like(cmo)),
+            cur_sample=jnp.where(is_prk, prk_cur_sample, plms_cur_sample),
+        )
+        return prev, new_state
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,12 +34,14 @@ def run_scheduler(name, num_steps=25, rng_seed=0):
     sched = get_scheduler(name)
     model = perfect_eps_model(sched)
     ts = jnp.asarray(sched.timesteps(num_steps), jnp.int32)
+    # the eval sequence may be longer than num_steps (PNDM prologue)
+    n_indices = int(ts.shape[0])
     state = sched.init_state(num_steps, SHAPE)
     rng = jax.random.PRNGKey(rng_seed)
     x = jax.random.normal(rng, SHAPE) * sched.init_noise_sigma_for(num_steps)
     i, calls = 0, 0
-    while i < num_steps and calls < 3 * num_steps:
-        idx = jnp.int32(min(i, num_steps - 1))
+    while i < n_indices and calls < 3 * n_indices:
+        idx = jnp.int32(min(i, n_indices - 1))
         t = jnp.full((SHAPE[0],), ts[idx], jnp.int32)
         model_in = sched.scale_model_input(x, idx, state)
         eps = model(model_in, t)
@@ -144,10 +146,113 @@ class TestSchedulers:
 
     def test_timesteps_descending(self):
         for name in SCHEDULERS:
+            if name == "PNDM":
+                continue  # covered by test_pndm_eval_sequence
             ts = get_scheduler(name).timesteps(20)
             assert len(ts) == 20
             assert (np.diff(ts) < 0).all()
             assert ts.max() < 1000
+
+    def test_pndm_eval_sequence(self):
+        """PNDM eval sequence: 12-call PRK prologue (3 RK4 groups over the
+        3 highest intervals, half-step midpoints) + (n-3) PLMS calls; skip
+        mode duplicates the second timestep for the Heun-like warmup."""
+        n, step = 20, 1000 // 20
+        sched = get_scheduler("PNDM")
+        ts = sched.timesteps(n)
+        assert len(ts) == 12 + (n - 3)
+        assert (np.diff(ts) <= 0).all()  # non-increasing, duplicates allowed
+        grid = (np.arange(n) * step).round().astype(np.int64)
+        d, c, b, a = grid[-1], grid[-2], grid[-3], grid[-4]
+        h = step // 2
+        expected_prk = [d, c + h, c + h, c, c, b + h, b + h, b, b, a + h, a + h, a]
+        assert list(ts[:12]) == expected_prk
+        assert list(ts[12:]) == list(grid[:-3][::-1])
+
+        skip = get_scheduler("PNDM", skip_prk_steps=True)
+        ts2 = skip.timesteps(n)
+        assert len(ts2) == n + 1
+        assert ts2[1] == ts2[2] == grid[-2]
+
+    @pytest.mark.parametrize("skip_prk", [False, True])
+    def test_pndm_matches_imperative_replica(self, skip_prk):
+        """The jit-friendly PNDM state machine must match a straight
+        imperative numpy implementation of the published algorithm
+        (RK4 prologue + Adams-Bashforth PLMS, PNDM paper §3)."""
+        sched = get_scheduler("PNDM", skip_prk_steps=skip_prk)
+        n = 10
+        ts = sched.timesteps(n)
+        step_ratio = 1000 // n
+        ac = np.asarray(sched.alphas_cumprod, np.float64)
+        final_ac = ac[0]
+
+        def phi(sample, t, prev_t, mo):
+            a_t = ac[t]
+            a_p = ac[prev_t] if prev_t >= 0 else final_ac
+            coeff = np.sqrt(a_p / a_t)
+            denom = a_t * np.sqrt(1 - a_p) + np.sqrt(a_t * (1 - a_t) * a_p)
+            return coeff * sample - (a_p - a_t) * mo / denom
+
+        rng = np.random.default_rng(0)
+        evals = [rng.standard_normal(SHAPE).astype(np.float32) for _ in ts]
+        x_imp = rng.standard_normal(SHAPE).astype(np.float32)
+
+        # ---- imperative replica -------------------------------------
+        ets, cmo, cur_sample = [], 0.0, None
+        x = x_imp.copy()
+        n_prk = 0 if skip_prk else 12
+        for counter, t in enumerate(int(v) for v in ts):
+            mo = evals[counter].astype(np.float64)
+            if counter < n_prk:
+                diff = step_ratio // 2 if counter % 2 == 0 else 0
+                prev_t = t - diff
+                tt = int(ts[(counter // 4) * 4])
+                if counter % 4 == 0:
+                    cmo = cmo + mo / 6
+                    ets.append(mo)
+                    cur_sample = x.copy()
+                elif counter % 4 in (1, 2):
+                    cmo = cmo + mo / 3
+                else:
+                    mo = cmo + mo / 6
+                    cmo = 0.0
+                x = phi(cur_sample, tt, prev_t, mo)
+            else:
+                prev_t = t - step_ratio
+                tt = t
+                sample = x
+                if counter != 1:
+                    ets = ets[-3:] + [mo]
+                else:
+                    prev_t = t
+                    tt = t + step_ratio
+                if len(ets) == 1 and counter == 0:
+                    cur_sample = x.copy()
+                elif len(ets) == 1 and counter == 1:
+                    mo = (mo + ets[-1]) / 2
+                    sample = cur_sample
+                elif len(ets) == 2:
+                    mo = (3 * ets[-1] - ets[-2]) / 2
+                elif len(ets) == 3:
+                    mo = (23 * ets[-1] - 16 * ets[-2] + 5 * ets[-3]) / 12
+                else:
+                    mo = (55 * ets[-1] - 59 * ets[-2] + 37 * ets[-3] - 9 * ets[-4]) / 24
+                x = phi(sample, tt, prev_t, mo)
+
+        # ---- functional scheduler ------------------------------------
+        ts_j = jnp.asarray(ts, jnp.int32)
+        state = sched.init_state(n, SHAPE)
+        xf = jnp.asarray(x_imp)
+        for i in range(len(ts)):
+            xf, state = sched.step(jnp.asarray(evals[i]), jnp.int32(i), ts_j, xf, state)
+        np.testing.assert_allclose(np.asarray(xf), x, rtol=2e-4, atol=2e-5)
+
+    def test_pndm_prologue_beats_skip_mode_few_steps(self):
+        """The RK prologue exists to bootstrap the multistep method: with
+        few steps the full method should do no worse than skip mode."""
+        full = run_scheduler("PNDM", num_steps=8)
+        err_full = np.abs(full - TARGET).max()
+        assert err_full < 0.05, err_full
 
 
 class TestSecondOrderAccuracy:
@@ -173,3 +278,77 @@ class TestSecondOrderAccuracy:
         err_1s = run(DPMSolverMultistepScheduler(solver_order=1))
         err_2s = run(DPMSolverSinglestepScheduler())
         assert err_2s < err_1s, (err_2s, err_1s)
+
+    def test_deis_coefficients_match_quadrature(self):
+        """DEIS-2 closed-form coefficients == numerical integral of the
+        linear-in-log-rho interpolant weights over [rho_s0, rho_t].
+
+        x(rho) obeys d(x/alpha)/d(rho) = eps; DEIS integrates the linear
+        interpolant of eps through (rho_s1, m1), (rho_s0, m0) exactly:
+          coef1 = ∫ w0(x) dx,  w0(x) = (log x - log rho_s1)/(log rho_s0 - log rho_s1)
+          coef2 = ∫ w1(x) dx,  w1(x) = (log x - log rho_s0)/(log rho_s1 - log rho_s0)
+        """
+        from latte_tpu.core.scheduler import DEISMultistepScheduler
+
+        sched = DEISMultistepScheduler()
+        ts = sched.timesteps(8)
+        state = sched.init_state(8, SHAPE)
+        alpha = np.asarray(state["alpha"], np.float64)
+        sigma = np.asarray(state["sigma"], np.float64)
+        rho = sigma / alpha
+        i = 3  # interior step: s1=rho[2], s0=rho[3], t=rho[4]
+        rho_s1, rho_s0, rho_t = rho[i - 1], rho[i], rho[i + 1]
+
+        xs = np.linspace(rho_s0, rho_t, 200001)
+        w0 = (np.log(xs) - np.log(rho_s1)) / (np.log(rho_s0) - np.log(rho_s1))
+        w1 = (np.log(xs) - np.log(rho_s0)) / (np.log(rho_s1) - np.log(rho_s0))
+        coef1_num = np.trapezoid(w0, xs)
+        coef2_num = np.trapezoid(w1, xs)
+
+        f = DEISMultistepScheduler._ind_fn
+        coef1_cf = float(f(rho_t, rho_s0, rho_s1) - f(rho_s0, rho_s0, rho_s1))
+        coef2_cf = float(f(rho_t, rho_s1, rho_s0) - f(rho_s0, rho_s1, rho_s0))
+        assert abs(coef1_cf - coef1_num) < 1e-6 * abs(coef1_num)
+        assert abs(coef2_cf - coef2_num) < 1e-6 * abs(coef2_num)
+
+        # and the full update: x_t/alpha_t - x_s/alpha_s == coef1*m0 + coef2*m1
+        m0 = jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+        m1 = jax.random.normal(jax.random.PRNGKey(1), SHAPE)
+        sample = jax.random.normal(jax.random.PRNGKey(2), SHAPE)
+        st = dict(state, m0=m1, have_m0=jnp.ones((), jnp.bool_))
+        # model_output must invert to eps == m0 at ts[i]
+        prev, _ = sched.step(m0, jnp.int32(i), jnp.asarray(ts, jnp.int32), sample, st)
+        expected = alpha[i + 1] * (
+            np.asarray(sample) / alpha[i]
+            + coef1_num * np.asarray(m0)
+            + coef2_num * np.asarray(m1)
+        )
+        np.testing.assert_allclose(np.asarray(prev), expected, rtol=2e-4)
+
+    def test_deis_differs_from_dpm2m(self):
+        """DEIS extrapolates eps in rho space; DPM++2M extrapolates x0 in
+        log-SNR space — on a nontrivial trajectory they must not coincide."""
+        from latte_tpu.core.scheduler import (
+            DEISMultistepScheduler,
+            DPMSolverMultistepScheduler,
+        )
+
+        def run(sched, num_steps=8):
+            model = perfect_eps_model(sched)
+            ts = jnp.asarray(sched.timesteps(num_steps), jnp.int32)
+            state = sched.init_state(num_steps, SHAPE)
+            x = jax.random.normal(jax.random.PRNGKey(5), SHAPE) * 1.7
+            traj = []
+            for i in range(num_steps):
+                t = jnp.full((SHAPE[0],), ts[i], jnp.int32)
+                eps = model(x, t) + 0.05 * jnp.sin(jnp.float32(i))  # imperfect
+                x, state = sched.step(eps, jnp.int32(i), ts, x, state)
+                traj.append(np.asarray(x))
+            return traj
+
+        t_deis = run(DEISMultistepScheduler())
+        t_dpm = run(DPMSolverMultistepScheduler())
+        # first step (both first-order exponential Euler on eps/x0) agrees;
+        # once multistep kicks in, the algorithms diverge
+        mid_diff = np.abs(t_deis[4] - t_dpm[4]).max()
+        assert mid_diff > 1e-4, mid_diff
