@@ -59,6 +59,15 @@ def _select_frame_indices(
     return np.linspace(begin, end - 1, num_frames).astype(int)
 
 
+def _apply_transform(transform, clip: np.ndarray, rng) -> np.ndarray:
+    """Transforms take ``(video, rng)`` (rng drives the random flip);
+    plain single-argument callables are accepted for compatibility."""
+    try:
+        return transform(clip, rng)
+    except TypeError:
+        return transform(clip)
+
+
 class VideoFolderDataset:
     """mp4 folder dataset; optional class labels from parent dir names."""
 
@@ -78,11 +87,8 @@ class VideoFolderDataset:
         self.num_frames = num_frames
         self.temporal_crop = vt.TemporalRandomCrop(num_frames * frame_interval)
         self.image_size = image_size
-        self.transform = transform or (
-            lambda v: vt.normalize_video(
-                vt.to_tensor_video(vt.center_crop_resize(v, image_size))
-            )
-        )
+        # default = the ffs/ucf101 reference stack (flip + scale-then-crop)
+        self.transform = transform or vt.make_reference_transform("ffs", image_size)
         self.use_labels = use_labels
         if use_labels:
             self.classes, self.class_to_idx = find_classes(data_path)
@@ -97,7 +103,7 @@ class VideoFolderDataset:
         begin, end = self.temporal_crop(len(frames), self.rng)
         idx = _select_frame_indices(begin, end, self.num_frames)
         clip = frames[idx]
-        out = {"video": self.transform(clip).astype(np.float32)}
+        out = {"video": _apply_transform(self.transform, clip, self.rng).astype(np.float32)}
         if self.use_labels:
             label = self.class_to_idx[os.path.basename(os.path.dirname(path))]
             out["y"] = np.int32(label)
@@ -129,11 +135,8 @@ class FrameFolderDataset:
         self.num_frames = num_frames
         self.frame_interval = frame_interval
         self.image_size = image_size
-        self.transform = transform or (
-            lambda v: vt.normalize_video(
-                vt.to_tensor_video(vt.center_crop_resize(v, image_size))
-            )
-        )
+        # default = the sky reference stack (crop-then-resize, no flip)
+        self.transform = transform or vt.make_reference_transform("sky", image_size)
         self.rng = random.Random(seed)
 
     def __len__(self) -> int:
@@ -154,7 +157,7 @@ class FrameFolderDataset:
         while len(chosen) < self.num_frames:
             chosen.append(chosen[-1])
         clip = np.stack([self._read_image(f) for f in chosen])
-        return {"video": self.transform(clip).astype(np.float32)}
+        return {"video": _apply_transform(self.transform, clip, self.rng).astype(np.float32)}
 
 
 class JointVideoImageDataset:
@@ -182,15 +185,23 @@ class JointVideoImageDataset:
         return len(self.video_dataset)
 
     def _load_image(self, rel: str) -> Tuple[np.ndarray, int]:
-        """One list line: ``relative/path/frame.jpg [label]``."""
+        """One list line: ``relative/path/frame.jpg [label]``.
+
+        Each still goes through the SAME transform stack as the video
+        frames (the reference applies its per-dataset transform to every
+        sampled image, `ucf101_image_datasets.py:211-214`) — including an
+        independent flip draw per image."""
         parts = rel.split()
         path = parts[0] if os.path.isabs(parts[0]) else os.path.join(self.root, parts[0])
         label = int(parts[1]) if len(parts) > 1 else 0
         import cv2
 
         img = cv2.imread(path)[:, :, ::-1][None]  # (1, H, W, 3)
-        img = vt.center_crop_resize(img, self.image_size)
-        return vt.normalize_video(vt.to_tensor_video(img))[0], label
+        img = np.ascontiguousarray(img)
+        transform = getattr(self.video_dataset, "transform", None) or (
+            vt.make_reference_transform("ffs", self.image_size)
+        )
+        return _apply_transform(transform, img, self.rng)[0], label
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         # retry-on-error like the reference (`ucf101_image_datasets.py:196-209`)
@@ -227,6 +238,9 @@ def get_dataset(args):
         num_frames=num_frames,
         frame_interval=frame_interval,
         image_size=image_size,
+        # reference-exact stack per dataset: ffs/ucf101 flip+UCF-crop,
+        # taichi flip-only, sky crop-resize (no flip)
+        transform=vt.make_reference_transform(name, image_size),
     )
     if base in ("ffs", "ucf101"):
         ds = VideoFolderDataset(

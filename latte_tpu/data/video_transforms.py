@@ -26,14 +26,15 @@ __all__ = [
     "resize_scale",
     "ucf_center_crop",
     "center_crop_resize",
+    "make_reference_transform",
     "TemporalRandomCrop",
     "Compose",
 ]
 
 
 def to_tensor_video(video: np.ndarray) -> np.ndarray:
-    """uint8 (F, H, W, C) -> float32 (F, C, H, W) in [0, 1]."""
-    assert video.dtype == np.uint8, video.dtype
+    """(F, H, W, C) uint8 — or float32 in [0, 255] (post-resize) —
+    -> float32 (F, C, H, W) in [0, 1]."""
     return (video.astype(np.float32) / 255.0).transpose(0, 3, 1, 2)
 
 
@@ -52,20 +53,28 @@ def random_horizontal_flip(video: np.ndarray, p: float = 0.5, rng: Optional[rand
 
 
 def resize(video: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
-    """Bilinear resize every frame of (F, H, W, C) to (h, w)."""
+    """Bilinear resize every frame of (F, H, W, C) to (h, w).
+
+    Interpolates in float32 (the reference resizes AFTER /255 in float;
+    resizing in uint8 would quantize every output pixel)."""
     import cv2
 
     h, w = size
+    v = video.astype(np.float32)
     return np.stack(
-        [cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR) for f in video]
+        [cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR) for f in v]
     )
 
 
 def resize_scale(video: np.ndarray, target: int) -> np.ndarray:
-    """Scale so the SHORTER side equals ``target`` (aspect preserved)."""
+    """Scale so the SHORTER side equals ``target`` (aspect preserved).
+
+    Output dims use floor(H * scale), matching torch interpolate's
+    scale_factor semantics (`video_transforms.py:52-57` of the reference);
+    the shorter side lands exactly on ``target``."""
     _, H, W, _ = video.shape
     scale = target / min(H, W)
-    return resize(video, (round(H * scale), round(W * scale)))
+    return resize(video, (int(H * scale), int(W * scale)))
 
 
 def center_crop(video: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
@@ -91,15 +100,49 @@ def center_crop_resize(video: np.ndarray, size: int) -> np.ndarray:
     return resize(center_crop(video, (s, s)), (size, size))
 
 
+def make_reference_transform(dataset: str, image_size: int):
+    """Per-dataset transform stack matching the reference table exactly
+    (`/root/reference/datasets/__init__.py:13-79`):
+
+    - ffs / ucf101 (+ ``_img``): random horizontal flip, then UCF
+      scale-shorter-side-then-center-crop
+    - taichi (+ ``_img``): random horizontal flip only — NO spatial crop
+    - sky (+ ``_img``): center-crop-largest-square-then-resize — NO flip
+      (the reference comments the flip out)
+
+    Returns ``transform(video_uint8_FHWC, rng) -> float32 (F, C, H, W)
+    in [-1, 1]``; the flip draw comes from ``rng`` so loader workers can
+    be seeded independently.
+    """
+    base = dataset.replace("_img", "")
+    if base not in ("ffs", "ucf101", "taichi", "sky"):
+        raise NotImplementedError(dataset)
+
+    def transform(video: np.ndarray, rng: Optional[random.Random] = None) -> np.ndarray:
+        if base in ("ffs", "ucf101"):
+            video = random_horizontal_flip(video, rng=rng)
+            video = ucf_center_crop(video, image_size)
+        elif base == "taichi":
+            video = random_horizontal_flip(video, rng=rng)
+        else:  # sky
+            video = center_crop_resize(video, image_size)
+        return normalize_video(to_tensor_video(video))
+
+    return transform
+
+
 class TemporalRandomCrop:
-    """Random contiguous window of length ``size`` over the frame axis."""
+    """Random contiguous window of length ``size`` over the frame axis
+    (reference `video_transforms.py:413-427`: begin drawn from
+    [0, total - size - 1])."""
 
     def __init__(self, size: int):
         self.size = size
 
     def __call__(self, total_frames: int, rng: Optional[random.Random] = None) -> Tuple[int, int]:
         r = rng or random
-        begin = r.randint(0, max(0, total_frames - self.size))
+        rand_end = max(0, total_frames - self.size - 1)
+        begin = r.randint(0, rand_end)
         return begin, min(begin + self.size, total_frames)
 
 

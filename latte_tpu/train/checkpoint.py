@@ -51,6 +51,23 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, max(steps, key=int))
 
 
+def latest_checkpoint_under(results_dir: str) -> Optional[str]:
+    """Scan every ``<results_dir>/*/checkpoints`` for the highest-step
+    checkpoint — used when ``resume_from_checkpoint: true`` is set without
+    a path (each run gets a fresh auto-indexed experiment dir, so the
+    current run's own checkpoints dir is always empty at startup)."""
+    if not os.path.isdir(results_dir):
+        return None
+    best, best_step = None, -1
+    for exp in sorted(os.listdir(results_dir)):
+        cand = latest_checkpoint(os.path.join(results_dir, exp, "checkpoints"))
+        if cand is not None:
+            step = int(os.path.basename(cand))
+            if step > best_step:
+                best, best_step = cand, step
+    return best
+
+
 def find_model(
     path: str,
     depth: Optional[int] = None,

@@ -37,16 +37,34 @@ from latte_tpu.utils import create_experiment_dir, create_logger
 
 def build_encode_fn(config):
     """Optional fused VAE encoder: returns (encode_fn, frozen_vae_params)
-    or None. encode_fn(video, rng, params) -> scaled latents."""
+    or None. encode_fn(video, rng, params) -> scaled latents.
+
+    ``vae_ckpt: random`` initializes the SD VAE encoder with random
+    (seeded) weights — a smoke/e2e path exercising the full fused
+    pixel->latent->DiT program without converted HF weights."""
     vae_ckpt = getattr(config, "vae_ckpt", None)
-    if not vae_ckpt or not os.path.exists(str(vae_ckpt)):
+    if not vae_ckpt:
         return None
-    import orbax.checkpoint as ocp
 
     from latte_tpu.vae import AutoencoderKL
 
     vae = AutoencoderKL()
-    vae_params = {"params": ocp.PyTreeCheckpointer().restore(os.path.abspath(vae_ckpt))}
+    if str(vae_ckpt) == "random":
+        sample = jnp.zeros((1, 3, int(config.image_size), int(config.image_size)))
+        vae_params = jax.jit(
+            lambda: vae.init({"params": jax.random.PRNGKey(0)}, sample)
+        )()
+    elif os.path.exists(str(vae_ckpt)):
+        import orbax.checkpoint as ocp
+
+        vae_params = {
+            "params": ocp.PyTreeCheckpointer().restore(os.path.abspath(vae_ckpt))
+        }
+    else:
+        raise FileNotFoundError(
+            f"vae_ckpt {vae_ckpt!r} does not exist — convert the SD VAE with "
+            "tools/convert_vae.py, or use vae_ckpt: random for a smoke run"
+        )
     scale = float(getattr(config, "vae_scale", 0.18215))
 
     def encode(video, rng, params):
@@ -190,7 +208,22 @@ def main(config: Config) -> dict:
     resume = getattr(config, "resume_from_checkpoint", None)
     start_step = 0
     if resume:
-        path = str(resume) if os.path.isdir(str(resume)) else latest_checkpoint(ckpt_dir)
+        if os.path.isdir(str(resume)):
+            path = str(resume)
+        else:
+            # `true` without a path: this run's fresh experiment dir has no
+            # checkpoints yet — scan sibling experiment dirs in results_dir
+            from latte_tpu.train.checkpoint import latest_checkpoint_under
+
+            path = latest_checkpoint(ckpt_dir) or latest_checkpoint_under(
+                str(getattr(config, "results_dir", "./results"))
+            )
+            if path is None:
+                logger.warning(
+                    "resume_from_checkpoint set but no checkpoint found "
+                    f"under {getattr(config, 'results_dir', './results')!r}; "
+                    "starting from scratch"
+                )
         if path:
             # restore into the live structure so optax NamedTuple states
             # come back typed, not as raw dicts
@@ -229,9 +262,11 @@ def main(config: Config) -> dict:
 
     batches, real_data = make_batch_iterator(config, logger, global_batch)
     if encode_fn is None and real_data:
-        logger.info(
-            "NOTE: no vae_ckpt — treating dataset videos as raw pixels is "
-            "unsupported without a VAE; expecting 4-channel latents"
+        raise ValueError(
+            "dataset videos are raw pixels but no VAE is configured: set "
+            "vae_ckpt to converted SD-VAE params (tools/convert_vae.py), or "
+            "vae_ckpt: random for a smoke run (reference always encodes "
+            "through the frozen VAE, train.py:206-211)"
         )
 
     max_steps = int(getattr(config, "max_train_steps", 1000))
