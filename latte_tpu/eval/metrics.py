@@ -17,7 +17,7 @@ from typing import Callable, Dict, Optional
 
 import numpy as np
 
-from latte_tpu.eval.dataset import MetricVideoDataset
+from latte_tpu.eval.dataset import MetricImageDataset, MetricVideoDataset
 from latte_tpu.eval.detectors import (
     c3d_probs,
     i3d_features,
@@ -94,21 +94,79 @@ def _frame_stats(
     cache_dir: Optional[str] = None,
     seed: int = 0,
 ) -> FeatureStats:
-    """Per-frame Inception stats for FID/KID/IS over video frames."""
-    ds = MetricVideoDataset(path, num_frames=1, max_items=None, seed=seed)
+    """Per-frame Inception stats for FID/KID/IS: EVERY frame of every clip
+    is an item (reference `video_to_image_dataset_kwargs`,
+    `tools/utils/dataset.py:470-482`); mp4s are decoded once, streamed."""
+    if cache_dir:
+        cp = cache_path(cache_dir, path, 1, max_items, 1, capture_all)
+        if os.path.exists(cp):
+            return FeatureStats.load(cp)
+    ds = MetricImageDataset(path)
     stats = FeatureStats(
         capture_all=capture_all, capture_mean_cov=True, max_items=max_items
     )
     batch = []
-    for i in range(len(ds)):
-        batch.append(ds[i][0])
-        if len(batch) == batch_size or i == len(ds) - 1:
+    for frame in ds:
+        batch.append(frame)
+        if len(batch) == batch_size:
             feats = inception_features(detector, np.stack(batch))
             stats.append_sharded(np.asarray(feats, np.float32))
             batch = []
             if stats.is_full():
                 break
+    if batch and not stats.is_full():
+        feats = inception_features(detector, np.stack(batch))
+        stats.append_sharded(np.asarray(feats, np.float32))
+    if cache_dir:
+        stats.save(cp)
     return stats
+
+
+def generator_stats(
+    gen_fn,
+    detector,
+    feature_fn,
+    max_items: int,
+    batch_size: int = 16,
+    capture_all: bool = False,
+    frames_only: bool = False,
+) -> FeatureStats:
+    """Stream features straight from a generator callable — no mp4s hit
+    disk (reference `compute_feature_stats_for_generator`,
+    `tools/metrics/metric_utils.py:262-321`).
+
+    ``gen_fn(n) -> uint8 (n, F, H, W, 3)`` clips; with ``frames_only`` the
+    clips are flattened to frames before the detector (image metrics).
+    """
+    stats = FeatureStats(
+        capture_all=capture_all, capture_mean_cov=True, max_items=max_items
+    )
+    while not stats.is_full():
+        clips = np.asarray(gen_fn(batch_size))
+        assert clips.dtype == np.uint8 and clips.ndim == 5, (
+            f"gen_fn must yield uint8 (B,F,H,W,3); got {clips.dtype} {clips.shape}"
+        )
+        x = clips.reshape(-1, *clips.shape[2:]) if frames_only else clips
+        feats = feature_fn(detector, x)
+        stats.append_sharded(np.asarray(feats, np.float32))
+    return stats
+
+
+def _fake_video_stats(opts, detector, feature_fn, num_frames, capture_all=False):
+    """Generated-side stats: from ``fake_gen`` (a callable, streamed — no
+    files) when provided, else from ``fake_path`` on disk."""
+    if opts.get("fake_gen") is not None:
+        return generator_stats(
+            opts["fake_gen"], detector, feature_fn,
+            max_items=opts.get("max_fake", 2048),
+            batch_size=opts.get("gen_batch_size", 16),
+            capture_all=capture_all,
+        )
+    return _video_stats(
+        opts["fake_path"], detector, feature_fn, num_frames,
+        max_items=opts.get("max_fake", 2048), capture_all=capture_all,
+        seed=opts.get("seed", 0),
+    )
 
 
 def _fvd(opts, num_frames: int, real_subsample: int) -> float:
@@ -118,10 +176,7 @@ def _fvd(opts, num_frames: int, real_subsample: int) -> float:
         max_items=opts.get("max_real", 2048), subsample_factor=real_subsample,
         cache_dir=opts.get("cache_dir"), seed=opts.get("seed", 0),
     )
-    fake = _video_stats(
-        opts["fake_path"], detector, i3d_features, num_frames,
-        max_items=opts.get("max_fake", 2048), seed=opts.get("seed", 0),
-    )
+    fake = _fake_video_stats(opts, detector, i3d_features, num_frames)
     mu_r, cov_r = real.get_mean_cov()
     mu_f, cov_f = fake.get_mean_cov()
     return frechet_distance(mu_r, cov_r, mu_f, cov_f)
@@ -159,22 +214,36 @@ def fvd2048_128f_subsample8f(opts) -> Dict[str, float]:
 
 @register_metric
 def isv2048_ucf(opts) -> Dict[str, float]:
-    """Video inception score: 2048 clips, C3D-UCF101, 10 splits."""
+    """Video inception score: 2048 clips, C3D-UCF101, 10 splits, pre-split
+    shuffle with RandomState(42) (`video_inception_score.py:47`)."""
     detector = opts.get("detector") or load_torchscript_detector("c3d")
-    fake = _video_stats(
-        opts["fake_path"], detector, c3d_probs, opts.get("num_frames", 16),
-        max_items=opts.get("max_fake", 2048), capture_all=True,
-        seed=opts.get("seed", 0),
+    fake = _fake_video_stats(
+        opts, detector, c3d_probs, opts.get("num_frames", 16), capture_all=True
     )
-    mean, std = inception_score(fake.get_all(), num_splits=10)
+    mean, std = inception_score(fake.get_all(), num_splits=10, shuffle_seed=42)
     return {"isv2048_ucf_mean": mean, "isv2048_ucf_std": std}
+
+
+def _fake_frame_stats(opts, detector, max_items, capture_all=False):
+    if opts.get("fake_gen") is not None:
+        return generator_stats(
+            opts["fake_gen"], detector, inception_features,
+            max_items=max_items, batch_size=opts.get("gen_batch_size", 16),
+            capture_all=capture_all, frames_only=True,
+        )
+    return _frame_stats(
+        opts["fake_path"], detector, max_items=max_items, capture_all=capture_all
+    )
 
 
 @register_metric
 def fid50k_full(opts) -> Dict[str, float]:
     detector = opts.get("detector") or load_torchscript_detector("inception")
-    real = _frame_stats(opts["real_path"], detector, max_items=opts.get("max_real", 50000))
-    fake = _frame_stats(opts["fake_path"], detector, max_items=opts.get("max_fake", 50000))
+    real = _frame_stats(
+        opts["real_path"], detector, max_items=opts.get("max_real", 50000),
+        cache_dir=opts.get("cache_dir"),
+    )
+    fake = _fake_frame_stats(opts, detector, max_items=opts.get("max_fake", 50000))
     mu_r, cov_r = real.get_mean_cov()
     mu_f, cov_f = fake.get_mean_cov()
     return {"fid50k_full": frechet_distance(mu_r, cov_r, mu_f, cov_f)}
@@ -184,10 +253,11 @@ def fid50k_full(opts) -> Dict[str, float]:
 def kid50k_full(opts) -> Dict[str, float]:
     detector = opts.get("detector") or load_torchscript_detector("inception")
     real = _frame_stats(
-        opts["real_path"], detector, max_items=opts.get("max_real", 50000), capture_all=True
+        opts["real_path"], detector, max_items=opts.get("max_real", 50000),
+        capture_all=True, cache_dir=opts.get("cache_dir"),
     )
-    fake = _frame_stats(
-        opts["fake_path"], detector, max_items=opts.get("max_fake", 50000), capture_all=True
+    fake = _fake_frame_stats(
+        opts, detector, max_items=opts.get("max_fake", 50000), capture_all=True
     )
     return {"kid50k_full": kernel_distance(real.get_all(), fake.get_all())}
 
@@ -195,8 +265,8 @@ def kid50k_full(opts) -> Dict[str, float]:
 @register_metric
 def is50k(opts) -> Dict[str, float]:
     detector = opts.get("detector") or load_torchscript_detector("inception")
-    fake = _frame_stats(
-        opts["fake_path"], detector, max_items=opts.get("max_fake", 50000), capture_all=True
+    fake = _fake_frame_stats(
+        opts, detector, max_items=opts.get("max_fake", 50000), capture_all=True
     )
     mean, std = inception_score(fake.get_all(), num_splits=10)
     return {"is50k_mean": mean, "is50k_std": std}

@@ -79,13 +79,35 @@ def build_sample_fn(model, params, config, diffusion):
 
 
 def load_vae(config):
-    """Load VAE decode params if a converted checkpoint is configured."""
+    """Load VAE decode params if configured.
+
+    ``vae: tiny`` / ``vae_ckpt: random`` give seeded random-weight VAEs
+    (tiny / full SD architecture) for smoke and e2e runs without converted
+    HF weights."""
+    if str(getattr(config, "vae", "") or "") == "tiny":
+        from latte_tpu.vae.autoencoder_kl import tiny_vae
+
+        vae = tiny_vae()
+        params = jax.jit(
+            lambda: vae.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 3, 16, 16)))
+        )()
+        return vae, params
     vae_ckpt = getattr(config, "vae_ckpt", None)
-    if not vae_ckpt or not os.path.exists(vae_ckpt):
+    if not vae_ckpt:
         return None, None
     from latte_tpu.vae import AutoencoderKL
 
     vae = AutoencoderKL()
+    if str(vae_ckpt) == "random":
+        size = int(getattr(config, "image_size", 256))
+        params = jax.jit(
+            lambda: vae.init(
+                {"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 3, size, size))
+            )
+        )()
+        return vae, params
+    if not os.path.exists(str(vae_ckpt)):
+        return None, None
     import orbax.checkpoint as ocp
 
     params = ocp.PyTreeCheckpointer().restore(os.path.abspath(vae_ckpt))

@@ -65,8 +65,8 @@ class TestScores:
         y = rng_np.standard_normal((500, 16))
         same = kernel_distance(x, y, num_subsets=20, max_subset_size=100)
         far = kernel_distance(x, y + 3.0, num_subsets=20, max_subset_size=100)
-        assert abs(same) < 0.1
-        assert far > 10 * max(abs(same), 1e-6)
+        assert abs(same) < 100.0  # x1000 scale: raw MMD < 0.1
+        assert far > 10 * max(abs(same), 1e-3)
 
     def test_inception_score_bounds(self):
         # uniform predictions -> IS == 1
@@ -77,6 +77,50 @@ class TestScores:
         probs = np.eye(10)[np.arange(100) % 10]
         mean, _ = inception_score(probs + 1e-12)
         np.testing.assert_allclose(mean, 10.0, rtol=1e-3)
+
+    def test_kid_reference_scale_x1000(self, rng_np):
+        """Exact replica of the reference formula
+        (`kernel_inception_distance.py:35-44` including the final *1000)
+        with the same subset draws."""
+        x = rng_np.standard_normal((60, 8))
+        y = rng_np.standard_normal((60, 8)) + 0.5
+        seed, num_subsets, m_cap = 7, 5, 20
+        got = kernel_distance(x, y, num_subsets=num_subsets, max_subset_size=m_cap, seed=seed)
+
+        n = x.shape[1]
+        m = min(min(x.shape[0], y.shape[0]), m_cap)
+        rng = np.random.default_rng(seed)
+        t = 0.0
+        for _ in range(num_subsets):
+            xx = y[rng.choice(y.shape[0], m, replace=False)]
+            yy = x[rng.choice(x.shape[0], m, replace=False)]
+            a = (xx @ xx.T / n + 1) ** 3 + (yy @ yy.T / n + 1) ** 3
+            b = (xx @ yy.T / n + 1) ** 3
+            t += (a.sum() - np.diag(a).sum()) / (m - 1) - b.sum() * 2 / m
+        expected = float(t / num_subsets / m) * 1000.0
+        np.testing.assert_allclose(got, expected, rtol=1e-12)
+
+    def test_is_shuffle_seed_matches_reference_order(self, rng_np):
+        """isv shuffles with RandomState(42) before splitting
+        (`video_inception_score.py:47`): an order-dependent prob set must
+        give a different split-mean with vs without the shuffle."""
+        # first half confident, second half uniform -> split stats differ
+        probs = np.concatenate(
+            [np.eye(10)[np.arange(50) % 10] * 0.91 + 0.01, np.full((50, 10), 0.1)]
+        )
+        m_plain, _ = inception_score(probs, num_splits=5)
+        m_shuf, _ = inception_score(probs, num_splits=5, shuffle_seed=42)
+        assert m_plain != m_shuf
+        # and the shuffle replicates RandomState(42).shuffle exactly
+        expected = probs.copy()
+        np.random.RandomState(42).shuffle(expected)
+        scores = []
+        n = len(expected)
+        for i in range(5):
+            part = expected[i * n // 5 : (i + 1) * n // 5]
+            kl = part * (np.log(part) - np.log(part.mean(0, keepdims=True)))
+            scores.append(np.exp(np.mean(kl.sum(1))))
+        np.testing.assert_allclose(m_shuf, np.mean(scores), rtol=1e-9)
 
 
 def fake_video_detector(x, **kwargs):
@@ -129,6 +173,108 @@ class TestMetricsEndToEnd:
         assert v_far > v_same
         # jsonl report written
         assert os.path.exists(tmp_path / "rep" / "metric-fvd2048_16f.jsonl")
+
+    def test_zip_archive_and_dataset_json_labels(self, tmp_path):
+        """Reference `tools/utils/dataset.py:286-296,359-396`: metric
+        datasets read zip archives of frame dirs with per-video labels."""
+        import io as _io
+        import json
+        import zipfile
+
+        import cv2
+
+        from latte_tpu.eval.dataset import MetricVideoDataset
+
+        zpath = str(tmp_path / "clips.zip")
+        labels = {}
+        with zipfile.ZipFile(zpath, "w") as z:
+            for c in range(3):
+                for f in range(6):
+                    img = np.full((16, 16, 3), c * 40 + f, np.uint8)
+                    ok, buf = cv2.imencode(".png", img)
+                    z.writestr(f"clip{c}/{f:03d}.png", buf.tobytes())
+                    labels[f"clip{c}/{f:03d}.png"] = c * 10
+            z.writestr("dataset.json", json.dumps({"labels": list(labels.items())}))
+
+        ds = MetricVideoDataset(zpath, num_frames=4, seed=0)
+        assert len(ds) == 3
+        assert ds.has_labels
+        clip = ds[0]
+        assert clip.shape == (4, 16, 16, 3)
+        got = {ds.get_label(i) for i in range(3)}
+        assert got == {0, 10, 20}
+
+    def test_image_dataset_iterates_every_frame(self, tmp_path):
+        """FID protocol: every frame of every clip is an item
+        (`video_to_image_dataset_kwargs`, `dataset.py:470-482`)."""
+        from latte_tpu.eval.dataset import MetricImageDataset
+
+        d = str(tmp_path / "vids")
+        os.makedirs(d)
+        make_video_dir(d, n=3, seed=0, frames=5)
+        frames = list(MetricImageDataset(d))
+        assert len(frames) == 15
+        assert frames[0].shape == (32, 32, 3)
+
+    def test_generator_side_fvd_no_files(self, tmp_path):
+        """FVD streamed straight from a generator callable — nothing
+        written to disk (reference `metric_utils.py:262-321`)."""
+        from latte_tpu.eval.metrics import calc_metric
+
+        real = str(tmp_path / "real")
+        os.makedirs(real)
+        make_video_dir(real, 8, seed=0)
+        rng = np.random.default_rng(3)
+        calls = []
+
+        def fake_gen(n):
+            calls.append(n)
+            return (rng.random((4, 8, 32, 32, 3)) * 255).astype(np.uint8)
+
+        r = calc_metric(
+            "fvd2048_16f", real_path=real, fake_gen=fake_gen,
+            detector=fake_video_detector, max_real=8, max_fake=8,
+        )
+        assert np.isfinite(r["results"]["fvd2048_16f"])
+        assert len(calls) == 2  # 8 items in batches of 4
+        assert not any(tmp_path.glob("**/*.mp4.gen"))  # nothing written
+
+    def test_sample_many_generator_to_fvd(self, tmp_path):
+        """End-to-end: sample_many's BatchGenerator drives FVD directly
+        (no mp4s) with an injected detector."""
+        from latte_tpu.config import Config
+        from latte_tpu.eval.metrics import calc_metric
+        from latte_tpu.sample.sample_many import BatchGenerator
+        from latte_tpu.vae.autoencoder_kl import tiny_vae
+
+        real = str(tmp_path / "real")
+        os.makedirs(real)
+        make_video_dir(real, 4, seed=0, frames=4)
+
+        cfg = Config(
+            {
+                "model": "Latte-S/2",
+                "image_size": 16,
+                "num_frames": 4,
+                "extras": 1,
+                "learn_sigma": True,
+                "num_sampling_steps": 2,
+                "sample_method": "ddim",
+                "per_proc_batch_size": 1,
+                "seed": 0,
+                "attention_mode": "xla",
+                "vae": "tiny",
+            }
+        )
+        gen = BatchGenerator(cfg)
+        assert gen.decode is not None, "tiny VAE should be wired"
+        r = calc_metric(
+            "fvd2048_16f", real_path=real, fake_gen=gen,
+            detector=fake_video_detector, max_real=4,
+            max_fake=2 * gen.global_batch,
+        )
+        assert np.isfinite(r["results"]["fvd2048_16f"])
+        assert gen.it >= 1
 
     def test_registry_contents(self):
         from latte_tpu.eval.metrics import list_metrics
