@@ -50,6 +50,7 @@ class DataLoader:
         self.num_shards = num_shards
         self.prefetch = prefetch
         self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
         self._batch_q: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._index_q: "queue.Queue" = queue.Queue(maxsize=prefetch * batch_size * 2)
         self._threads: list = []
@@ -78,16 +79,16 @@ class DataLoader:
             try:
                 sample = self.dataset[i]
                 failures = 0
-            except Exception:
+            except Exception as e:
                 # skip bad samples like the reference retry loops — but a
-                # fully-broken dataset must surface, not hang the batcher
+                # fully-broken dataset must surface ON THE CONSUMING THREAD
+                # (raising here would die silently in a daemon worker and
+                # leave the consumer blocked forever)
                 failures += 1
                 if failures >= 20:
-                    import traceback
-
-                    traceback.print_exc()
+                    self._error = e
                     self._stop.set()
-                    raise
+                    return
                 continue
             self._sample_buffer.put(sample)
 
@@ -116,7 +117,18 @@ class DataLoader:
         self._threads.append(t)
         try:
             while True:
-                yield self._batch_q.get()
+                try:
+                    batch = self._batch_q.get(timeout=0.5)
+                except queue.Empty:
+                    if self._error is not None:
+                        raise RuntimeError(
+                            "DataLoader worker failed 20 consecutive times — "
+                            "dataset appears fully broken"
+                        ) from self._error
+                    if self._stop.is_set():
+                        return
+                    continue
+                yield batch
         finally:
             self.close()
 

@@ -73,8 +73,11 @@ def count_params(params) -> int:
 
 
 class InfiniteSampler:
-    """Shuffled infinite index stream with shard/window options
-    (reference `misc.py:110-144` semantics)."""
+    """Infinite shard-aware shuffled index stream (same capability slot as
+    the reference's `misc.py` InfiniteSampler, re-designed: deterministic
+    full reshuffle per epoch keyed on (seed, epoch), rather than the
+    original's incremental sliding-window swaps — simpler, and epochs are
+    reproducible independently of how far the stream was consumed)."""
 
     def __init__(
         self,
@@ -83,30 +86,26 @@ class InfiniteSampler:
         num_replicas: int = 1,
         shuffle: bool = True,
         seed: int = 0,
-        window_size: float = 0.5,
     ):
         assert dataset_size > 0
+        assert 0 <= rank < num_replicas
         self.dataset_size = dataset_size
         self.rank = rank
         self.num_replicas = num_replicas
         self.shuffle = shuffle
         self.seed = seed
-        self.window_size = window_size
+
+    def epoch_order(self, epoch: int) -> np.ndarray:
+        order = np.arange(self.dataset_size)
+        if self.shuffle:
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
+        return order
 
     def __iter__(self) -> Iterator[int]:
-        order = np.arange(self.dataset_size)
-        rnd = None
-        window = 0
-        if self.shuffle:
-            rnd = np.random.RandomState(self.seed)
-            rnd.shuffle(order)
-            window = int(np.rint(order.size * self.window_size))
-        idx = 0
+        epoch = 0
         while True:
-            i = idx % order.size
-            if idx % self.num_replicas == self.rank:
-                yield int(order[i])
-            if window >= 2:
-                j = (i - rnd.randint(window)) % order.size
-                order[i], order[j] = order[j], order[i]
-            idx += 1
+            order = self.epoch_order(epoch)
+            # interleaved striding: replicas partition each epoch's order
+            for v in order[self.rank :: self.num_replicas]:
+                yield int(v)
+            epoch += 1
