@@ -40,7 +40,7 @@ def get_1d_sincos_pos_embed(embed_dim: int, length: int) -> np.ndarray:
 def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
     """Spatial patch-grid positional table, shape (grid², D).
 
-    Height occupies the first D/2 dims, width the second (reference layout,
+    Width occupies the first D/2 dims, height the second (reference layout,
     `models/latte.py:410-436`): position of patch (h, w) at flat index
     h*grid + w.
     """
@@ -49,9 +49,14 @@ def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
     grid_w = np.arange(grid_size, dtype=np.float64)
     # w varies fastest in the flattened grid
     ww, hh = np.meshgrid(grid_w, grid_h)
-    emb_h = _sincos_from_positions(embed_dim // 2, hh.reshape(-1))
-    emb_w = _sincos_from_positions(embed_dim // 2, ww.reshape(-1))
-    return np.concatenate([emb_h, emb_w], axis=1)
+    # Reference quirk (`models/latte.py:416-433`): `meshgrid(grid_w, grid_h)`
+    # puts the W positions in `grid[0]`, which feeds the variable the MAE
+    # code *names* `emb_h` — so the first D/2 dims actually encode WIDTH.
+    # Match it exactly (verified vs the executed reference in
+    # tests/test_reference_model_parity.py).
+    emb_first = _sincos_from_positions(embed_dim // 2, ww.reshape(-1))
+    emb_second = _sincos_from_positions(embed_dim // 2, hh.reshape(-1))
+    return np.concatenate([emb_first, emb_second], axis=1)
 
 
 def timestep_embedding(

@@ -36,26 +36,54 @@ xavier = nn.initializers.xavier_uniform
 
 
 class T2VFeedForward(nn.Module):
-    """diffusers FeedForward: geglu | gelu-approximate projection in."""
+    """diffusers FeedForward: geglu | gelu-approximate projection in.
+
+    ``chunk_size`` bounds FF activation memory by running the MLP over
+    token-axis slices (reference `latte_t2v.py:267-270,368-383`
+    ``set_chunk_feed_forward``): the 4×D hidden is live for only one chunk
+    at a time.  On TPU the first-line memory tools are remat + the scanned
+    block pairs; this is the reference-parity knob for the FF term.
+    """
 
     dim: int
     mult: int = 4
     activation_fn: str = "gelu-approximate"
+    chunk_size: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
         if self.activation_fn == "geglu":
-            h = nn.Dense(inner * 2, dtype=self.dtype, kernel_init=xavier(), name="net_0_proj")(x)
-            h, gate = jnp.split(h, 2, axis=-1)
-            h = h * nn.gelu(gate, approximate=False)
+            proj_in = nn.Dense(inner * 2, dtype=self.dtype, kernel_init=xavier(), name="net_0_proj")
         elif self.activation_fn == "gelu-approximate":
-            h = nn.Dense(inner, dtype=self.dtype, kernel_init=xavier(), name="net_0_proj")(x)
-            h = nn.gelu(h, approximate=True)
+            proj_in = nn.Dense(inner, dtype=self.dtype, kernel_init=xavier(), name="net_0_proj")
         else:
             raise NotImplementedError(self.activation_fn)
-        return nn.Dense(self.dim, dtype=self.dtype, kernel_init=xavier(), name="net_2")(h)
+        proj_out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=xavier(), name="net_2")
+
+        def ff(h):
+            h = proj_in(h)
+            if self.activation_fn == "geglu":
+                h, gate = jnp.split(h, 2, axis=-1)
+                h = h * nn.gelu(gate, approximate=False)
+            else:
+                h = nn.gelu(h, approximate=True)
+            return proj_out(h)
+
+        if self.chunk_size is None:
+            return ff(x)
+        T = x.shape[1]
+        if T % self.chunk_size != 0:
+            raise ValueError(
+                f"token axis {T} not divisible by feed-forward chunk size "
+                f"{self.chunk_size}"
+            )
+        n = T // self.chunk_size
+        return jnp.concatenate(
+            [ff(x[:, i * self.chunk_size : (i + 1) * self.chunk_size]) for i in range(n)],
+            axis=1,
+        )
 
 
 class MultiHeadCrossAttention(nn.Module):
@@ -122,6 +150,7 @@ class T2VSpatialBlock(nn.Module):
     head_dim: int
     activation_fn: str = "gelu-approximate"
     attention_mode: str = "auto"
+    ff_chunk_size: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -163,7 +192,8 @@ class T2VSpatialBlock(nn.Module):
         )(x)
         h = h * (1 + scale_mlp) + shift_mlp
         x = x + gate_mlp * T2VFeedForward(
-            dim=self.dim, activation_fn=self.activation_fn, dtype=self.dtype, name="ff"
+            dim=self.dim, activation_fn=self.activation_fn,
+            chunk_size=self.ff_chunk_size, dtype=self.dtype, name="ff"
         )(h)
         return x
 
@@ -176,6 +206,7 @@ class T2VTemporalBlock(nn.Module):
     head_dim: int
     activation_fn: str = "gelu-approximate"
     attention_mode: str = "auto"
+    ff_chunk_size: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -208,7 +239,8 @@ class T2VTemporalBlock(nn.Module):
         )(x)
         h = h * (1 + scale_mlp) + shift_mlp
         x = x + gate_mlp * T2VFeedForward(
-            dim=self.dim, activation_fn=self.activation_fn, dtype=self.dtype, name="ff"
+            dim=self.dim, activation_fn=self.activation_fn,
+            chunk_size=self.ff_chunk_size, dtype=self.dtype, name="ff"
         )(h)
         return x
 
@@ -258,6 +290,7 @@ class T2VPair(nn.Module):
     enable_temporal_attentions: bool = True
     activation_fn: str = "gelu-approximate"
     attention_mode: str = "auto"
+    ff_chunk_size: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -273,6 +306,7 @@ class T2VPair(nn.Module):
             head_dim=self.head_dim,
             activation_fn=self.activation_fn,
             attention_mode=self.attention_mode,
+            ff_chunk_size=self.ff_chunk_size,
             dtype=self.dtype,
             name="spatial",
         )(x, t_spatial, context_sp, ctx_bias)
@@ -289,6 +323,10 @@ class T2VPair(nn.Module):
                 head_dim=self.head_dim,
                 activation_fn=self.activation_fn,
                 attention_mode=self.attention_mode,
+                # FF chunking targets the spatial token axis (H·W/p² tokens,
+                # where the 4×D activation memory lives); the temporal
+                # block's token axis is only F frames, so chunking it buys
+                # nothing and would impose F % chunk == 0.
                 dtype=self.dtype,
                 name="temporal",
             )(x_video, t_temp)
@@ -316,6 +354,7 @@ class LatteT2V(nn.Module):
     activation_fn: str = "gelu-approximate"
     attention_mode: str = "auto"
     enable_temporal_attentions: bool = True
+    feed_forward_chunk_size: Optional[int] = None
     gradient_checkpointing: bool = False
     unroll_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -404,6 +443,7 @@ class LatteT2V(nn.Module):
             enable_temporal_attentions=self.enable_temporal_attentions,
             activation_fn=self.activation_fn,
             attention_mode=self.attention_mode,
+            ff_chunk_size=self.feed_forward_chunk_size,
             dtype=self.dtype,
             name="blocks",
         )(x, (t_spatial, t_temp, ctx_sp, ctx_bias, temp_pos_embed), is_first)

@@ -20,6 +20,9 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# This image's XLA-CPU backend executes fp32 matmuls at reduced precision by
+# default (~1e-2 error on O(1) dots); parity tests need true fp32.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -124,3 +124,30 @@ class TestT2VOptions:
         np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
         for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+class TestChunkedFeedForward:
+    def test_chunked_ff_equivalence(self):
+        """feed_forward_chunk_size must not change outputs (reference
+        `latte_t2v.py:267-270,368-383` set_chunk_feed_forward semantics)."""
+        m_plain = tiny_t2v()
+        m_chunked = tiny_t2v(feed_forward_chunk_size=16)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 4, 16, 16))
+        t = jnp.array([10])
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 10, 64))
+        mask = jnp.ones((1, 10), jnp.int32)
+        v = m_plain.init({"params": jax.random.PRNGKey(0)}, x, t, ctx, mask)
+        a = m_plain.apply(v, x, t, ctx, mask)
+        b = m_chunked.apply(v, x, t, ctx, mask)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    def test_chunked_ff_indivisible_raises(self):
+        import pytest
+
+        m = tiny_t2v(feed_forward_chunk_size=7)
+        x = jnp.zeros((1, 4, 4, 16, 16))
+        t = jnp.array([0])
+        ctx = jnp.ones((1, 10, 64))
+        mask = jnp.ones((1, 10), jnp.int32)
+        with pytest.raises(ValueError, match="chunk"):
+            m.init({"params": jax.random.PRNGKey(0)}, x, t, ctx, mask)
