@@ -45,6 +45,73 @@ def _noise_for(x, t_scalar, rng, noise_schedule):
     return jnp.zeros_like(x)
 
 
+# Host-loop jitted steps, cached across `sample_loop` calls so repeated
+# sampling (e.g. `sample_many` FVD iterations on the relay backend) does not
+# re-trace per call.  Keys hold strong refs to the identity-keyed objects so
+# ids cannot be recycled; the cache is small and FIFO-bounded.
+_HOST_STEP_CACHE: Dict[Any, Any] = {}
+_HOST_STEP_CACHE_LIMIT = 16
+
+
+def _get_host_step(
+    diffusion, kind, model_apply, noise_mode, kwarg_keys,
+    clip_denoised, denoised_fn, cond_fn, eta,
+):
+    """Jitted single denoising step with params/x/t/rng/kwargs as ARGUMENTS
+    (nothing value-like baked into the trace), memoized on the static
+    pieces: (diffusion, kind, model_apply, flags)."""
+    def parts(o):
+        # normalize bound methods: `obj.method` is a fresh object on every
+        # attribute access, but (__func__, __self__) identities are stable
+        f = getattr(o, "__func__", None)
+        if f is not None and hasattr(o, "__self__"):
+            return (f, o.__self__)
+        return (o,)
+
+    refs = parts(diffusion) + parts(model_apply) + parts(denoised_fn) + parts(cond_fn)
+    key = (
+        tuple(map(id, refs)), kind, noise_mode, kwarg_keys,
+        bool(clip_denoised), float(eta),
+    )
+    hit = _HOST_STEP_CACHE.get(key)
+    if hit is not None and all(a is b for a, b in zip(hit[1], refs)):
+        return hit[0]
+
+    def host_step(params, x, t_scalar, *rest):
+        if noise_mode == "sched":
+            noise, mkvals = rest[0], rest[1:]
+        elif noise_mode == "rng":
+            noise = jax.random.normal(
+                jax.random.fold_in(rest[0], t_scalar), x.shape, dtype=x.dtype
+            )
+            mkvals = rest[1:]
+        else:
+            noise = jnp.zeros_like(x)
+            mkvals = rest
+        model_kwargs = dict(zip(kwarg_keys, mkvals))
+        mf = lambda xx, tt, **kw: model_apply(params, xx, tt, **kw)
+        t = jnp.full((x.shape[0],), t_scalar, dtype=jnp.int32)
+        if kind == "ddim":
+            out = diffusion.ddim_sample(
+                mf, x, t, noise,
+                clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+                cond_fn=cond_fn, model_kwargs=model_kwargs, eta=eta,
+            )
+        else:
+            out = diffusion.p_sample(
+                mf, x, t, noise,
+                clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+                cond_fn=cond_fn, model_kwargs=model_kwargs,
+            )
+        return out["sample"]
+
+    jitted = jax.jit(host_step)
+    if len(_HOST_STEP_CACHE) >= _HOST_STEP_CACHE_LIMIT:
+        _HOST_STEP_CACHE.pop(next(iter(_HOST_STEP_CACHE)))
+    _HOST_STEP_CACHE[key] = (jitted, refs)
+    return jitted
+
+
 def _sample_loop(
     kind: str,
     diffusion: GaussianDiffusion,
@@ -84,18 +151,33 @@ def _sample_loop(
 
     if loop == "host":
         if params is not None and model_apply is not None:
+            noise_mode = (
+                "sched" if noise_schedule is not None
+                else "rng" if rng is not None
+                else "none"
+            )
+            mk = dict(model_kwargs or {})
+            kwarg_keys = tuple(sorted(mk))
+            jstep = _get_host_step(
+                diffusion, kind, model_apply, noise_mode, kwarg_keys,
+                clip_denoised, denoised_fn, cond_fn, eta,
+            )
+            mkvals = tuple(mk[k] for k in kwarg_keys)
 
-            def host_step(p, x, t_scalar):
-                mf = lambda xx, tt, **kw: model_apply(p, xx, tt, **kw)
-                t = jnp.full((x.shape[0],), t_scalar, dtype=jnp.int32)
-                noise = _noise_for(x, t_scalar, rng, noise_schedule)
-                return make_step(mf)(x, t, noise)["sample"]
-
-            jstep = jax.jit(host_step)
-            run = lambda x, ts: jstep(params, x, ts)
+            def run(x, t_scalar):
+                if noise_mode == "sched":
+                    return jstep(
+                        params, x, t_scalar, noise_schedule[int(t_scalar)], *mkvals
+                    )
+                if noise_mode == "rng":
+                    return jstep(params, x, t_scalar, rng, *mkvals)
+                return jstep(params, x, t_scalar, *mkvals)
         else:
             # closure fallback: fine for small models/tests; large weight
-            # trees should use params/model_apply (see module docstring)
+            # trees should use params/model_apply (see module docstring).
+            # Not cached across calls — the closure identity is the cache key
+            # a caller would need to keep stable, and small models retrace
+            # cheaply.
             step = make_step(model_fn)
 
             def closure_step(x, t_scalar):
@@ -103,8 +185,7 @@ def _sample_loop(
                 noise = _noise_for(x, t_scalar, rng, noise_schedule)
                 return step(x, t, noise)["sample"]
 
-            jstep = jax.jit(closure_step)
-            run = jstep
+            run = jax.jit(closure_step)
 
         x, traj = x_T, []
         for t_scalar in range(diffusion.num_timesteps - 1, -1, -1):

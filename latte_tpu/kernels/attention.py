@@ -10,9 +10,13 @@ Two token layouts matter for Latte (SURVEY.md §5.7): long spatial sequences
 temporal sequences (F = 16) — where the fused XLA path is faster; the model
 dispatches between them ("auto" mode).
 
-The backward pass currently routes through the mathematically identical XLA
-attention via `jax.custom_vjp` (correct gradients everywhere; a Pallas
-backward kernel is a planned optimization for the training hot path).
+The backward pass is a pair of Pallas kernels (standard flash-attention
+backward recurrence): the forward additionally emits the per-row
+logsumexp; the backward recomputes probabilities block-by-block from it,
+so neither pass ever materializes the N×N score matrix. `dq` parallelizes
+over Q blocks (inner loop over K), `dk/dv` over K blocks (inner loop
+over Q). Set ``bwd_impl="xla"`` to fall back to XLA autodiff of the
+reference attention.
 """
 
 from __future__ import annotations
@@ -49,7 +53,7 @@ def attention_reference(q, k, v):
     return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: float):
     """Online-softmax attention for R independent rows at once.
 
     Batching R (batch·head) rows per grid invocation amortizes the
@@ -90,6 +94,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
 
     acc, m, l = jax.lax.fori_loop(0, nk, body, (acc, m, l))
     o_ref[...] = (acc / l).astype(o_ref.dtype)
+    # per-row logsumexp of the scaled scores — the backward's softmax key.
+    # Kept 3D with a trailing singleton: TPU block shapes need the last two
+    # dims (8,128)-aligned OR equal to the array dims; (bq, 1) qualifies
+    # while a 2D (rows, bq) block would constrain `rows` to multiples of 8.
+    lse_ref[...] = m + jnp.log(l)
 
 
 def _flash_forward(
@@ -107,52 +116,195 @@ def _flash_forward(
         rows //= 2
     grid = (BH // rows, N // block_q)
     kw = {} if _VMEM is None else {"memory_space": _VMEM}
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, block_k=block_k, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((BH, N, D), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, N, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, N, 1), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((rows, block_q, D), lambda b, i: (b, i, 0), **kw),
             pl.BlockSpec((rows, N, D), lambda b, i: (b, 0, 0), **kw),
             pl.BlockSpec((rows, N, D), lambda b, i: (b, 0, 0), **kw),
         ],
-        out_specs=pl.BlockSpec((rows, block_q, D), lambda b, i: (b, i, 0), **kw),
+        out_specs=(
+            pl.BlockSpec((rows, block_q, D), lambda b, i: (b, i, 0), **kw),
+            pl.BlockSpec((rows, block_q, 1), lambda b, i: (b, i, 0), **kw),
+        ),
         interpret=interpret,
     )(qr, kr, vr)
-    return out.reshape(B, H, N, D).transpose(0, 2, 1, 3)
+    return out.reshape(B, H, N, D).transpose(0, 2, 1, 3), lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, block_q, block_k, rows):
-    interpret = jax.default_backend() != "tpu"
-    return _flash_forward(q, k, v, block_q, block_k, interpret, rows=rows)
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, block_k: int, scale: float,
+):
+    """dQ for one Q block: inner loop over K blocks.
 
+    ds = p ∘ (dO·Vᵀ − Δ), dq = scale · ds·K with p recomputed from the
+    forward logsumexp (flash-attention backward recurrence).
+    """
+    q = q_ref[...].astype(jnp.float32)  # (R, bq, D)
+    do = do_ref[...].astype(jnp.float32)
+    lse = lse_ref[...].astype(jnp.float32)  # (R, bq, 1)
+    delta = delta_ref[...].astype(jnp.float32)
+    nk = k_ref.shape[1] // block_k
 
-def _flash_fwd(q, k, v, block_q, block_k, rows):
-    return _flash(q, k, v, block_q, block_k, rows), (q, k, v)
-
-
-def _flash_bwd(block_q, block_k, rows, res, g):
-    q, k, v = res
-    if jax.default_backend() == "tpu":
-        # identical math, but the gradient flows through jax's tuned TPU
-        # flash kernel (Pallas fwd+bwd, no N x N probs materialized)
-        from jax.experimental.pallas.ops.tpu.flash_attention import (
-            flash_attention as jax_flash,
+    def body(j, acc):
+        k_blk = k_ref[:, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[:, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (R, bq, bk)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (R, bq, bk)
+        ds = p * (dp - delta)
+        acc = acc + jax.lax.dot_general(
+            ds, k_blk, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
         )
+        return acc
 
-        def f(q, k, v):
-            scale = q.shape[-1] ** -0.5
-            out = jax_flash(
-                q.transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
-                sm_scale=scale,
-            )
-            return out.transpose(0, 2, 1, 3)
+    acc = jax.lax.fori_loop(0, nk, body, jnp.zeros(q.shape, jnp.float32))
+    dq_ref[...] = (acc * scale).astype(dq_ref.dtype)
 
-        _, vjp = jax.vjp(f, q, k, v)
-        return vjp(g)
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, block_q: int, scale: float,
+):
+    """dK/dV for one K block: inner loop over Q blocks.
+
+    dv = pᵀ·dO, dk = scale · dsᵀ·Q accumulated across all Q blocks.
+    """
+    k = k_ref[...].astype(jnp.float32)  # (R, bk, D)
+    v = v_ref[...].astype(jnp.float32)
+    nq = q_ref.shape[1] // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        q_blk = q_ref[:, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        do_blk = do_ref[:, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse_blk = lse_ref[:, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        delta_blk = delta_ref[:, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q_blk, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (R, bq, bk)
+        p = jnp.exp(s - lse_blk)
+        dv = dv + jax.lax.dot_general(
+            p, do_blk, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (R, bk, D)
+        dp = jax.lax.dot_general(
+            do_blk, v, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_blk)
+        dk = dk + jax.lax.dot_general(
+            ds, q_blk, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(
+        0, nq, body,
+        (jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32)),
+    )
+    dk_ref[...] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, out, lse, g, block_q: int, block_k: int, interpret: bool, rows: int
+):
+    B, N, H, D = q.shape
+    scale = D**-0.5
+    qr = q.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    kr = k.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    vr = v.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    dor = g.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    outr = out.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    # Δ_i = Σ_d dO_id · O_id — cheap rowwise reduction; leave it to XLA
+    delta = jnp.sum(
+        dor.astype(jnp.float32) * outr.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (BH, N, 1)
+
+    BH = B * H
+    while rows > 1 and BH % rows:
+        rows //= 2
+    kw = {} if _VMEM is None else {"memory_space": _VMEM}
+
+    full = lambda b, i: (b, 0, 0)
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((BH, N, D), q.dtype),
+        grid=(BH // rows, N // block_q),
+        in_specs=[
+            pl.BlockSpec((rows, block_q, D), lambda b, i: (b, i, 0), **kw),
+            pl.BlockSpec((rows, N, D), full, **kw),
+            pl.BlockSpec((rows, N, D), full, **kw),
+            pl.BlockSpec((rows, block_q, D), lambda b, i: (b, i, 0), **kw),
+            pl.BlockSpec((rows, block_q, 1), lambda b, i: (b, i, 0), **kw),
+            pl.BlockSpec((rows, block_q, 1), lambda b, i: (b, i, 0), **kw),
+        ],
+        out_specs=pl.BlockSpec((rows, block_q, D), lambda b, i: (b, i, 0), **kw),
+        interpret=interpret,
+    )(qr, kr, vr, dor, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, N, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, N, D), v.dtype),
+        ),
+        grid=(BH // rows, N // block_k),
+        in_specs=[
+            pl.BlockSpec((rows, N, D), full, **kw),
+            pl.BlockSpec((rows, block_k, D), lambda b, j: (b, j, 0), **kw),
+            pl.BlockSpec((rows, block_k, D), lambda b, j: (b, j, 0), **kw),
+            pl.BlockSpec((rows, N, D), full, **kw),
+            pl.BlockSpec((rows, N, 1), full, **kw),
+            pl.BlockSpec((rows, N, 1), full, **kw),
+        ],
+        out_specs=(
+            pl.BlockSpec((rows, block_k, D), lambda b, j: (b, j, 0), **kw),
+            pl.BlockSpec((rows, block_k, D), lambda b, j: (b, j, 0), **kw),
+        ),
+        interpret=interpret,
+    )(qr, kr, vr, dor, lse, delta)
+
+    back = lambda a: a.reshape(B, H, N, D).transpose(0, 2, 1, 3)
+    return back(dq), back(dk), back(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, block_q, block_k, rows, bwd_impl):
+    interpret = jax.default_backend() != "tpu"
+    out, _ = _flash_forward(q, k, v, block_q, block_k, interpret, rows=rows)
+    return out
+
+
+def _flash_fwd(q, k, v, block_q, block_k, rows, bwd_impl):
+    interpret = jax.default_backend() != "tpu"
+    out, lse = _flash_forward(q, k, v, block_q, block_k, interpret, rows=rows)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd(block_q, block_k, rows, bwd_impl, res, g):
+    q, k, v, out, lse = res
+    if bwd_impl == "pallas":
+        interpret = jax.default_backend() != "tpu"
+        return _flash_backward(
+            q, k, v, out, lse, g, block_q, block_k, interpret, rows
+        )
+    # "xla": autodiff of the mathematically identical fused attention
     _, vjp = jax.vjp(attention_reference, q, k, v)
     return vjp(g)
 
@@ -160,16 +312,21 @@ def _flash_bwd(block_q, block_k, rows, res, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_attention(q, k, v, *, block_q: int = 512, block_k: int = 512, rows: int = 1):
+def flash_attention(
+    q, k, v, *,
+    block_q: int = 512, block_k: int = 512, rows: int = 1,
+    bwd_impl: str = "pallas",
+):
     """Flash attention over layout (B, N, H, D) -> (B, N, H, D).
 
     Falls back to the XLA reference for sequence lengths the block tiling
     can't cover evenly (short temporal sequences never reach here — the
     model's "auto" mode routes them to the XLA path directly).
+    ``bwd_impl``: "pallas" (own flash backward kernels) | "xla".
     """
     N = q.shape[1]
     block_q = min(block_q, N)
     block_k = min(block_k, N)
     if N % block_q or N % block_k:
         return attention_reference(q, k, v)
-    return _flash(q, k, v, block_q, block_k, rows)
+    return _flash(q, k, v, block_q, block_k, rows, bwd_impl)

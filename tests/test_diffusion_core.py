@@ -250,3 +250,82 @@ class TestReferenceParity:
                 ours, dummy_model, jnp.asarray(xT), noise_schedule=jnp.asarray(noise_sched)
             )
         np.testing.assert_allclose(np.asarray(our_final), ref_final, rtol=1e-3, atol=1e-4)
+
+
+class TestHostStepCache:
+    """Host-loop jitted steps must be cached across sample-loop calls
+    (repeated `sample_many` iterations must not re-trace per call)."""
+
+    def _model_apply(self, p, x, t, **kw):
+        tt = t.reshape((x.shape[0],) + (1,) * (x.ndim - 1)).astype(jnp.float32)
+        mean = p["w"] * x * jnp.cos(tt / 7.0)
+        var = jnp.tanh(x + tt / 100.0)
+        return jnp.concatenate([mean, var], axis=2)
+
+    def test_cache_reuse_and_scan_equivalence(self):
+        from latte_tpu.core import samplers
+
+        d = create_diffusion("ddim5", diffusion_steps=50)
+        params = {"w": jnp.float32(0.1)}
+        xT = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 4, 8, 8))
+
+        samplers._HOST_STEP_CACHE.clear()
+        a = ddim_sample_loop(
+            d, None, xT, loop="host", params=params, model_apply=self._model_apply
+        )
+        assert len(samplers._HOST_STEP_CACHE) == 1
+        b = ddim_sample_loop(
+            d, None, xT, loop="host", params=params, model_apply=self._model_apply
+        )
+        assert len(samplers._HOST_STEP_CACHE) == 1, "second call must hit the cache"
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        scan = ddim_sample_loop(
+            d, lambda x, t, **kw: self._model_apply(params, x, t, **kw), xT
+        )
+        np.testing.assert_allclose(np.asarray(a), np.asarray(scan), rtol=1e-5, atol=1e-6)
+
+    def test_model_kwargs_are_arguments_not_constants(self):
+        """Different kwarg VALUES must reuse the same traced step."""
+        from latte_tpu.core import samplers
+
+        d = create_diffusion("ddim5", diffusion_steps=50)
+        params = {"w": jnp.float32(0.1)}
+
+        def apply_with_y(p, x, t, y=None, **kw):
+            return self._model_apply(p, x, t) + 0.001 * y.astype(jnp.float32).reshape(
+                -1, *([1] * (x.ndim - 1))
+            )
+
+        xT = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 4, 8, 8))
+        samplers._HOST_STEP_CACHE.clear()
+        a = ddim_sample_loop(
+            d, None, xT, loop="host", params=params, model_apply=apply_with_y,
+            model_kwargs={"y": jnp.array([0, 1])},
+        )
+        b = ddim_sample_loop(
+            d, None, xT, loop="host", params=params, model_apply=apply_with_y,
+            model_kwargs={"y": jnp.array([5, 9])},
+        )
+        assert len(samplers._HOST_STEP_CACHE) == 1
+        jitted = next(iter(samplers._HOST_STEP_CACHE.values()))[0]
+        assert jitted._cache_size() == 1, "kwarg values must not force retrace"
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_rng_mode_stochastic_step_cached(self):
+        from latte_tpu.core import samplers
+
+        d = create_diffusion("5", diffusion_steps=50)
+        params = {"w": jnp.float32(0.1)}
+        xT = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 4, 8, 8))
+        samplers._HOST_STEP_CACHE.clear()
+        a = p_sample_loop(
+            d, None, xT, rng=jax.random.PRNGKey(3), loop="host",
+            params=params, model_apply=self._model_apply,
+        )
+        b = p_sample_loop(
+            d, None, xT, rng=jax.random.PRNGKey(4), loop="host",
+            params=params, model_apply=self._model_apply,
+        )
+        assert len(samplers._HOST_STEP_CACHE) == 1
+        assert not np.allclose(np.asarray(a), np.asarray(b))

@@ -220,6 +220,34 @@ class TestFlashAttention:
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
 
+    def test_pallas_backward_matches_xla_backward(self):
+        """Own Pallas dq/dkv kernels vs XLA autodiff of the same math,
+        with mixed block sizes and multi-row (batch*head) batching."""
+        from latte_tpu.kernels.attention import flash_attention
+
+        key = jax.random.PRNGKey(2)
+        q, k, v = (
+            jax.random.normal(kk, (2, 256, 4, 64), dtype=jnp.float32)
+            for kk in jax.random.split(key, 3)
+        )
+        g = jax.random.normal(jax.random.PRNGKey(3), (2, 256, 4, 64))
+
+        def run(impl):
+            def loss(q, k, v):
+                out = flash_attention(
+                    q, k, v, block_q=128, block_k=64, rows=4, bwd_impl=impl
+                )
+                return jnp.sum(out * g)
+
+            return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        gp = run("pallas")
+        gx = run("xla")
+        for a, b, name in zip(gp, gx, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4, err_msg=name
+            )
+
 
 class TestModelOptions:
     def test_gradient_checkpointing_grads(self):
