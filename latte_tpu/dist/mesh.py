@@ -7,6 +7,11 @@ equivalent is a `jax.sharding.Mesh` over ICI with named axes and
 
 Axes:
   - ``dp``: data parallel (batch axis).
+  - ``sp``: sequence parallel (fused batch·token axis of the DiT
+    activations; spatial blocks shard frames, temporal blocks shard
+    patches — see `models/dit.py` ``activation_sharding``). Size 1 by
+    default; the mesh only carries the axis when sp > 1 so existing
+    2-axis specs keep working.
   - ``tp``: tensor parallel (hidden axis of the DiT matmuls) — the mesh
     carries the axis so models can shard attention heads / MLP columns;
     size 1 reproduces the reference's pure-DP behavior.
@@ -29,13 +34,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 class MeshConfig:
     dp: int = -1  # -1: use all remaining devices
     tp: int = 1
+    sp: int = 1  # sequence parallel (activation token axis)
 
     def resolve(self, n_devices: int) -> "MeshConfig":
-        dp = self.dp if self.dp != -1 else n_devices // self.tp
-        assert dp * self.tp == n_devices, (
-            f"mesh {dp}x{self.tp} != {n_devices} devices"
+        dp = self.dp if self.dp != -1 else n_devices // (self.tp * self.sp)
+        assert dp * self.tp * self.sp == n_devices, (
+            f"mesh dp{dp}xsp{self.sp}xtp{self.tp} != {n_devices} devices"
         )
-        return MeshConfig(dp=dp, tp=self.tp)
+        return MeshConfig(dp=dp, tp=self.tp, sp=self.sp)
 
 
 def make_mesh(
@@ -43,6 +49,9 @@ def make_mesh(
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     cfg = config.resolve(len(devices))
+    if cfg.sp > 1:
+        arr = np.asarray(devices).reshape(cfg.dp, cfg.sp, cfg.tp)
+        return Mesh(arr, axis_names=("dp", "sp", "tp"))
     arr = np.asarray(devices).reshape(cfg.dp, cfg.tp)
     return Mesh(arr, axis_names=("dp", "tp"))
 

@@ -15,6 +15,13 @@ TPU-first design choices (not in the reference):
   (B, F, T, D) carry, which XLA keeps as cheap relayouts.
 - Attention dispatches to the Pallas flash kernel for long (spatial) token
   sequences and to a fused XLA path for short (temporal) ones.
+- Sequence parallelism (`activation_sharding`): the fused batch·token
+  leading dim is sharded over the given mesh axes (e.g. ``("dp", "sp")``)
+  via `with_sharding_constraint`. Spatial blocks shard over frames,
+  temporal blocks over patches; the (b f) t d <-> (b t) f d relayout then
+  compiles to one all-to-all per transition riding ICI — long-video
+  scaling the reference's pure-DDP design cannot express. The caller must
+  jit under a `Mesh` context that defines the named axes.
 """
 
 from __future__ import annotations
@@ -22,7 +29,9 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec
 
 from latte_tpu.models.embeddings import (
     LabelEmbedder,
@@ -47,7 +56,15 @@ class SpatioTemporalPair(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     attention_mode: str = "auto"
+    activation_sharding: Optional[Tuple[str, ...]] = None
     dtype: jnp.dtype = jnp.float32
+
+    def _constrain(self, x):
+        if self.activation_sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, PartitionSpec(tuple(self.activation_sharding), None, None)
+        )
 
     @nn.compact
     def __call__(
@@ -61,6 +78,7 @@ class SpatioTemporalPair(nn.Module):
         BF, T, D = x.shape
         B = BF // F
 
+        x = self._constrain(x)
         x = AdaLNBlock(
             hidden_size=self.hidden_size,
             num_heads=self.num_heads,
@@ -70,8 +88,9 @@ class SpatioTemporalPair(nn.Module):
             name="spatial",
         )(x, c_spatial)
 
-        # (b f) t d -> (b t) f d
+        # (b f) t d -> (b t) f d; under SP this relayout is the all-to-all
         x = x.reshape(B, F, T, D).transpose(0, 2, 1, 3).reshape(B * T, F, D)
+        x = self._constrain(x)
         x = x + is_first.astype(x.dtype) * temp_embed
 
         x = AdaLNBlock(
@@ -85,7 +104,7 @@ class SpatioTemporalPair(nn.Module):
 
         # (b t) f d -> (b f) t d
         x = x.reshape(B, T, F, D).transpose(0, 2, 1, 3).reshape(B * F, T, D)
-        return x, None
+        return self._constrain(x), None
 
 
 class Latte(nn.Module):
@@ -109,6 +128,9 @@ class Latte(nn.Module):
     learn_sigma: bool = True
     extras: int = 1
     attention_mode: str = "auto"
+    # mesh axes to shard the fused batch·token leading dim over, e.g.
+    # ("dp", "sp") — sequence parallelism; requires jitting under a Mesh
+    activation_sharding: Optional[Tuple[str, ...]] = None
     gradient_checkpointing: bool = False
     unroll_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -194,6 +216,7 @@ class Latte(nn.Module):
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
+            activation_sharding=self.activation_sharding,
             dtype=self.dtype,
             name="blocks",
         )(x, (c_spatial, c_temp, temp_embed), is_first)

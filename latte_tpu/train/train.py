@@ -154,10 +154,14 @@ def main(config: Config) -> dict:
 
     n_dev = jax.device_count()
     tp = int(getattr(config, "tensor_parallel", 1) or 1)
-    assert n_dev % tp == 0, f"tensor_parallel={tp} must divide {n_dev} devices"
-    mesh = make_mesh(MeshConfig(dp=n_dev // tp, tp=tp))
+    sp = int(getattr(config, "sequence_parallel", 1) or 1)
+    assert n_dev % (tp * sp) == 0, (
+        f"tensor_parallel={tp} x sequence_parallel={sp} must divide {n_dev} devices"
+    )
+    dp = n_dev // (tp * sp)
+    mesh = make_mesh(MeshConfig(dp=dp, tp=tp, sp=sp))
     local_batch = int(getattr(config, "local_batch_size", 5))
-    global_batch = local_batch * (n_dev // tp)
+    global_batch = local_batch * dp
 
     extras = int(getattr(config, "extras", 1))
     frames = int(getattr(config, "num_frames", 16))
@@ -225,13 +229,18 @@ def main(config: Config) -> dict:
                     "starting from scratch"
                 )
         if path:
-            # restore into the live structure so optax NamedTuple states
-            # come back typed, not as raw dicts
+            # restore into the live STRUCTURE so optax NamedTuple states come
+            # back typed, not as raw dicts — but build the target from shape
+            # metadata only: device_get of the init state would pull the full
+            # XL state (≈11 GB) through the interconnect for nothing.
+            host_zeros = lambda tree: jax.tree_util.tree_map(
+                lambda a: np.zeros(np.shape(a), np.dtype(a.dtype)), tree
+            )
             target = {
-                "step": np.asarray(state.step),
-                "params": jax.device_get(state.params),
-                "ema_params": jax.device_get(state.ema_params),
-                "opt_state": jax.device_get(state.opt_state),
+                "step": np.asarray(state.step.dtype.type(0)),
+                "params": host_zeros(state.params),
+                "ema_params": host_zeros(state.ema_params),
+                "opt_state": host_zeros(state.opt_state),
             }
             payload = load_checkpoint(path, target=target)
             state = state.replace(
@@ -240,11 +249,21 @@ def main(config: Config) -> dict:
                 ema_params=payload["ema_params"],
                 opt_state=payload["opt_state"],
             )
-            start_step = int(payload["step"])
+            # free the discarded init state NOW: at XL scale the init state
+            # (params+EMA+moments ≈ 11 GB) plus the restored upload does not
+            # fit 16 GB HBM if both are live at the first jitted step.
+            del payload
+            variables = None
+            params = None
+            start_step = int(state.step)
             logger.info(f"resumed from {path} @ step {start_step}")
 
     built = build_encode_fn(config)
     encode_fn, encode_params = built if built is not None else (None, None)
+    if sp > 1:
+        # sequence-parallel activations; model.init above ran without the
+        # sharding constraints (with_sharding_constraint needs a mesh context)
+        model = model.clone(activation_sharding=("dp", "sp"))
     train_step = make_train_step(
         model,
         diffusion,
@@ -296,7 +315,7 @@ def main(config: Config) -> dict:
             step=rep, params=p_shard, ema_params=p_shard, opt_state=opt_shard
         )
         state = jax.tree_util.tree_map(jax.device_put, state, state_sh)
-        if tp > 1 or zero1:
+        if tp > 1 or zero1 or sp > 1:
             # pin shardings through the step so ZeRO-1 moments stay
             # dp-split and TP weights stay column/row-split across steps
             jitted_step = jax.jit(

@@ -149,3 +149,67 @@ class TestGraftEntry:
 
         assert len(jax.devices()) < 16
         __graft_entry__.dryrun_multichip(16)
+
+
+class TestSequenceParallel:
+    """activation_sharding=("dp","sp"): token-axis sharding with all-to-all
+    at the spatial<->temporal relayouts — numerics must match unsharded."""
+
+    def _build(self, activation_sharding=None):
+        model = Latte(
+            input_size=8,
+            patch_size=2,
+            hidden_size=32,
+            depth=4,
+            num_heads=2,
+            num_frames=4,
+            extras=1,
+            attention_mode="xla",
+            activation_sharding=activation_sharding,
+        )
+        x = jnp.zeros((2, 4, 4, 8, 8))
+        t = jnp.zeros((2,), jnp.int32)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x, t)
+        return model, variables["params"]
+
+    def test_sp_matches_unsharded(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        base_model, params = self._build(None)
+        sp_model = base_model.clone(activation_sharding=("dp", "sp"))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 8, 8))
+        t = jnp.array([5, 40])
+        expected = base_model.apply({"params": params}, x, t)
+
+        mesh = make_mesh(MeshConfig(dp=2, sp=2, tp=2))
+        assert mesh.axis_names == ("dp", "sp", "tp")
+        params_s = jax.device_put(params, NamedSharding(mesh, P()))
+        x_s = jax.device_put(x, NamedSharding(mesh, P("dp")))
+        with mesh:
+            fn = jax.jit(lambda p, xx, tt: sp_model.apply({"params": p}, xx, tt))
+            out = fn(params_s, x_s, t)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-5
+        )
+
+    def test_sp_with_tp_params(self):
+        """SP composes with Megatron TP param sharding."""
+        from latte_tpu.dist.sharding import shard_params
+
+        base_model, params = self._build(None)
+        sp_model = base_model.clone(activation_sharding=("dp", "sp"))
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 4, 8, 8))
+        t = jnp.array([0, 17])
+        expected = base_model.apply({"params": params}, x, t)
+
+        mesh = make_mesh(MeshConfig(dp=2, sp=2, tp=2))
+        params_s = shard_params(params, mesh)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x_s = jax.device_put(x, NamedSharding(mesh, P("dp")))
+        with mesh:
+            fn = jax.jit(lambda p, xx, tt: sp_model.apply({"params": p}, xx, tt))
+            out = fn(params_s, x_s, t)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(expected), rtol=2e-5, atol=2e-5
+        )
