@@ -116,13 +116,75 @@ def main() -> None:
     assert np.isfinite(val)
 
     videos_per_min = BATCH * n_runs * 60.0 / elapsed
+    extra = {}
+
+    if os.environ.get("BENCH_QUICK", "") != "1":
+        # --- model FLOPs (XLA cost analysis of the compiled DDIM step) and
+        # MFU against the public TPU v5e bf16 peak (197 TFLOP/s/chip). The
+        # FLOP count is the compiler's own estimate for the whole step
+        # (model fwd + schedule algebra), not a hand formula.
+        try:
+            compiled = ddim_step.lower(
+                params, jnp.zeros(x_shape, jnp.float32), ts[0]
+            ).compile()
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            step_flops = float(ca.get("flops", 0.0))
+            if step_flops > 0:
+                sec_per_video = elapsed / (BATCH * n_runs)
+                achieved = step_flops * STEPS / sec_per_video
+                extra["step_tflops_xla"] = round(step_flops / 1e12, 3)
+                extra["achieved_tflops_per_s"] = round(achieved / 1e12, 1)
+                extra["mfu_pct_vs_v5e_bf16_197T"] = round(
+                    100.0 * achieved / 197e12, 1
+                )
+        except Exception as e:  # relay backends may not expose cost analysis
+            extra["mfu_error"] = repr(e)[:120]
+
+        # --- decode-inclusive throughput: SD AutoencoderKL decode of the 16
+        # latent frames (weights random — conv cost is value-independent)
+        try:
+            from latte_tpu.vae.autoencoder_kl import AutoencoderKL
+
+            vae = AutoencoderKL(dtype=jnp.bfloat16)
+            zf = jnp.zeros((16, 4, 32, 32), jnp.float32)
+            vshapes = jax.eval_shape(
+                lambda: vae.init({"params": jax.random.PRNGKey(0)}, zf)
+            )
+
+            @jax.jit
+            def vae_zeros():
+                return jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, jnp.bfloat16), vshapes
+                )
+
+            vparams = vae_zeros()
+
+            @jax.jit
+            def decode(p, z):
+                return vae.apply(p, z, method=vae.decode)
+
+            np.asarray(decode(vparams, zf)[0, 0, 0, 0])  # compile
+            t0 = time.perf_counter()
+            for _ in range(3):
+                np.asarray(decode(vparams, zf)[0, 0, 0, 0])
+            decode_s = (time.perf_counter() - t0) / 3
+            sec_per_video = elapsed / (BATCH * n_runs)
+            extra["vae_decode_s_per_video"] = round(decode_s, 3)
+            extra["videos_per_min_with_decode"] = round(
+                60.0 / (sec_per_video + decode_s), 3
+            )
+        except Exception as e:
+            extra["decode_error"] = repr(e)[:120]
+
     print(
         json.dumps(
             {
-                "metric": "videos/min/chip (Latte-XL/2 16f 256², DDIM-50)",
+                "metric": "videos/min/chip (Latte-XL/2 16f 256², DDIM-50, latents)",
                 "value": round(videos_per_min, 3),
                 "unit": "videos/min/chip",
                 "vs_baseline": round(videos_per_min / A100_EST_VIDEOS_PER_MIN, 3),
+                "extra": extra,
             }
         )
     )
