@@ -122,8 +122,14 @@ def load_reference_latte():
     return load_reference_module("models/latte.py", "_reference_latte")
 
 
-def build_reference_latte(flax_params, *, depth, num_heads, **latte_kwargs):
-    """Construct the reference torch `Latte` and load our Flax params into it.
+def load_reference_latte_img():
+    """Import `/root/reference/models/latte_img.py` (joint video+image)."""
+    return load_reference_module("models/latte_img.py", "_reference_latte_img")
+
+
+def build_reference_latte(flax_params, *, depth, num_heads, img=False, **latte_kwargs):
+    """Construct the reference torch `Latte` (or the `latte_img.py` joint
+    variant when ``img=True``) and load our Flax params into it.
 
     Returns the torch model in eval mode.  The frozen sincos buffers
     (pos_embed / temp_embed) are NOT loaded — the reference recomputes them
@@ -134,7 +140,7 @@ def build_reference_latte(flax_params, *, depth, num_heads, **latte_kwargs):
 
     from latte_tpu.tools.convert import flax_to_reference_state_dict
 
-    ref = load_reference_latte()
+    ref = load_reference_latte_img() if img else load_reference_latte()
     model = ref.Latte(depth=depth, num_heads=num_heads, **latte_kwargs)
     sd = flax_to_reference_state_dict(flax_params, depth=depth, num_heads=num_heads)
     # conv layout: exporter emits (D, C*p*p); torch Conv2d wants (D, C, p, p)

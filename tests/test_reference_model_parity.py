@@ -161,3 +161,78 @@ class TestReferenceModelParity:
             )
         )
         np.testing.assert_allclose(our_final, ref_final, rtol=1e-3, atol=2e-4)
+
+
+@requires_reference
+class TestReferenceLatteIMGParity:
+    """Joint video+image model (`/root/reference/models/latte_img.py`):
+    per-image labels in train mode, temporal attention on video frames only."""
+
+    def test_joint_forward_parity(self, rng_np):
+        import torch
+
+        from latte_tpu.models.dit_img import LatteIMG
+        from latte_tpu.tools.reference_oracle import build_reference_latte
+
+        Fv, I = 4, 2  # video frames + joint still images
+        model = LatteIMG(
+            input_size=8,
+            patch_size=2,
+            in_channels=4,
+            hidden_size=64,
+            depth=4,
+            num_heads=4,
+            num_frames=Fv,
+            use_image_num=I,
+            extras=2,
+            num_classes=10,
+            class_dropout_prob=0.0,  # train-mode forward must be deterministic
+            attention_mode="xla",
+        )
+        x0 = jnp.zeros((1, Fv + I, 4, 8, 8))
+        t0 = jnp.zeros((1,), jnp.int32)
+        rngs = {"params": jax.random.PRNGKey(0), "label_dropout": jax.random.PRNGKey(1)}
+        variables = model.init(
+            rngs, x0, t0, y=jnp.zeros((1,), jnp.int32),
+            y_image=jnp.zeros((1, I), jnp.int32), train=True,
+        )
+        keys = iter(jax.random.split(jax.random.PRNGKey(9), 10_000))
+        params = jax.tree_util.tree_map(
+            lambda a: a + 0.05 * jax.random.normal(next(keys), a.shape, jnp.float32),
+            variables["params"],
+        )
+
+        tmodel = build_reference_latte(
+            params, depth=4, num_heads=4, img=True,
+            input_size=8, patch_size=2, in_channels=4, hidden_size=64,
+            num_frames=Fv, extras=2, num_classes=10, class_dropout_prob=0.0,
+            attention_mode="math",
+        )
+        tmodel.train()  # joint y_image path only runs with self.training
+
+        x = rng_np.standard_normal((2, Fv + I, 4, 8, 8)).astype(np.float32)
+        t = np.array([3, 47])
+        y = np.array([1, 7])
+        y_image = np.array([[2, 9], [0, 5]])
+
+        ours = np.asarray(
+            model.apply(
+                {"params": params},
+                jnp.asarray(x),
+                jnp.asarray(t),
+                y=jnp.asarray(y),
+                y_image=jnp.asarray(y_image),
+                train=True,
+                rngs={"label_dropout": jax.random.PRNGKey(2)},
+            )
+        )
+        with torch.no_grad():
+            ref = tmodel(
+                torch.from_numpy(x),
+                torch.from_numpy(t),
+                y=torch.from_numpy(y),
+                y_image=torch.from_numpy(y_image),
+                use_image_num=I,
+            ).numpy()
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=2e-4)
