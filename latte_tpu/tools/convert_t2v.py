@@ -114,3 +114,62 @@ def load_t2v_checkpoint(path: str, num_layers: int = 28) -> Dict[str, Any]:
         if isinstance(sd, dict) and "state_dict" in sd:
             sd = sd["state_dict"]
     return convert_t2v_state_dict(sd, num_layers=num_layers)
+
+
+def flax_to_reference_t2v_state_dict(
+    params: Mapping[str, Any], num_layers: int
+) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_t2v_state_dict` — export our Flax LatteT2V
+    params as a reference/diffusers-named torch state_dict (used by the
+    cross-framework oracle tests; frozen buffers are not emitted)."""
+    import jax
+
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_linear(prefix: str, p: Mapping[str, np.ndarray]):
+        sd[f"{prefix}.weight"] = _t(np.asarray(p["kernel"]))
+        if "bias" in p:
+            sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    k = np.asarray(params["pos_embed"]["proj"]["kernel"])  # (C*p*p, D)
+    sd["pos_embed.proj.weight"] = _t(k)  # (D, C*p*p) — caller reshapes to conv
+    sd["pos_embed.proj.bias"] = np.asarray(params["pos_embed"]["proj"]["bias"])
+    put_linear(
+        "adaln_single.emb.timestep_embedder.linear_1", params["adaln_single"]["emb"]["mlp_0"]
+    )
+    put_linear(
+        "adaln_single.emb.timestep_embedder.linear_2", params["adaln_single"]["emb"]["mlp_2"]
+    )
+    put_linear("adaln_single.linear", params["adaln_single"]["linear"])
+    put_linear("caption_projection.linear_1", params["caption_projection"]["linear_1"])
+    put_linear("caption_projection.linear_2", params["caption_projection"]["linear_2"])
+
+    def unstack(tree, i):
+        return jax.tree_util.tree_map(lambda a: np.asarray(a)[i], tree)
+
+    def put_attn(prefix, p):
+        put_linear(f"{prefix}.to_q", p["to_q"])
+        put_linear(f"{prefix}.to_k", p["to_k"])
+        put_linear(f"{prefix}.to_v", p["to_v"])
+        put_linear(f"{prefix}.to_out.0", p["to_out"])
+
+    def put_ff(prefix, p):
+        put_linear(f"{prefix}.net.0.proj", p["net_0_proj"])
+        put_linear(f"{prefix}.net.2", p["net_2"])
+
+    for i in range(num_layers):
+        sp = unstack(params["blocks"]["spatial"], i)
+        sd[f"transformer_blocks.{i}.scale_shift_table"] = np.asarray(sp["scale_shift_table"])
+        put_attn(f"transformer_blocks.{i}.attn1", sp["attn1"])
+        put_attn(f"transformer_blocks.{i}.attn2", sp["attn2"])
+        put_ff(f"transformer_blocks.{i}.ff", sp["ff"])
+        tp = unstack(params["blocks"]["temporal"], i)
+        sd[f"temporal_transformer_blocks.{i}.scale_shift_table"] = np.asarray(
+            tp["scale_shift_table"]
+        )
+        put_attn(f"temporal_transformer_blocks.{i}.attn1", tp["attn1"])
+        put_ff(f"temporal_transformer_blocks.{i}.ff", tp["ff"])
+
+    sd["scale_shift_table"] = np.asarray(params["scale_shift_table"])
+    put_linear("proj_out", params["proj_out"])
+    return sd

@@ -158,3 +158,41 @@ def build_reference_latte(flax_params, *, depth, num_heads, img=False, **latte_k
         )
     model.eval()
     return model
+
+
+def load_reference_latte_t2v():
+    """Import `/root/reference/models/latte_t2v.py` via the diffusers shim
+    (`latte_tpu.tools.diffusers_shim`)."""
+    from latte_tpu.tools.diffusers_shim import install_diffusers_shim
+
+    install_diffusers_shim()
+    return load_reference_module("models/latte_t2v.py", "_reference_latte_t2v")
+
+
+def build_reference_latte_t2v(flax_params, *, num_layers, **t2v_kwargs):
+    """Construct the reference torch `LatteT2V` and load our Flax params.
+
+    Frozen buffers (temp_pos_embed is non-persistent; caption_projection's
+    y_embedding is unused by the forward) are not loaded.
+    """
+    import torch
+
+    from latte_tpu.tools.convert_t2v import flax_to_reference_t2v_state_dict
+
+    ref = load_reference_latte_t2v()
+    model = ref.LatteT2V(num_layers=num_layers, **t2v_kwargs)
+    sd = flax_to_reference_t2v_state_dict(flax_params, num_layers=num_layers)
+    w = sd["pos_embed.proj.weight"]  # (D, C*p*p)
+    c = t2v_kwargs["in_channels"]
+    p = t2v_kwargs["patch_size"]
+    sd["pos_embed.proj.weight"] = w.reshape(w.shape[0], c, p, p)
+    tensors = {k: torch.from_numpy(v.copy()) for k, v in sd.items()}
+    missing, unexpected = model.load_state_dict(tensors, strict=False)
+    allowed_missing = {"caption_projection.y_embedding"}
+    missing = set(missing) - allowed_missing
+    if missing or unexpected:
+        raise ValueError(
+            f"state_dict mismatch: missing={sorted(missing)} unexpected={sorted(unexpected)}"
+        )
+    model.eval()
+    return model
