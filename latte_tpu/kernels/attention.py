@@ -60,7 +60,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: f
     per-invocation overhead that dominates at Latte's shapes (head_dim 72,
     N 1024): 2048 tiny invocations -> BH/R larger ones.
     """
-    q = q_ref[...].astype(jnp.float32) * scale  # (R, bq, D)
+    # Matmul inputs stay in the model dtype (bf16 on the hot path) so the
+    # MXU runs at full bf16 rate; `preferred_element_type=f32` keeps the
+    # accumulators fp32. Softmax statistics are fp32 throughout.
+    q = (q_ref[...].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (R, bq, D)
     seq_k = k_ref.shape[1]
     nk = seq_k // block_k
     R, bq, D = q.shape
@@ -71,20 +74,20 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int, scale: f
 
     def body(j, carry):
         acc, m, l = carry
-        k_blk = k_ref[:, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[:, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[:, pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[:, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
             q,
             k_blk,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (R, bq, bk)
+        )  # (R, bq, bk) fp32
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p,
+            p.astype(v_blk.dtype),
             v_blk,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -146,32 +149,35 @@ def _flash_bwd_dq_kernel(
     ds = p ∘ (dO·Vᵀ − Δ), dq = scale · ds·K with p recomputed from the
     forward logsumexp (flash-attention backward recurrence).
     """
-    q = q_ref[...].astype(jnp.float32)  # (R, bq, D)
-    do = do_ref[...].astype(jnp.float32)
+    # Same rounding as the forward: q is scaled in fp32 then cast back to
+    # the model dtype, so exp(s - lse) reproduces the forward's p exactly;
+    # matmuls run at native (bf16) MXU rate with fp32 accumulation.
+    qs = (q_ref[...].astype(jnp.float32) * scale).astype(q_ref.dtype)  # (R, bq, D)
+    do = do_ref[...]
     lse = lse_ref[...].astype(jnp.float32)  # (R, bq, 1)
     delta = delta_ref[...].astype(jnp.float32)
     nk = k_ref.shape[1] // block_k
 
     def body(j, acc):
-        k_blk = k_ref[:, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[:, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[:, pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[:, pl.ds(j * block_k, block_k), :]
         s = jax.lax.dot_general(
-            q, k_blk, (((2,), (2,)), ((0,), (0,))),
+            qs, k_blk, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale  # (R, bq, bk)
+        )  # (R, bq, bk) fp32
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v_blk, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (R, bq, bk)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k_blk.dtype)
         acc = acc + jax.lax.dot_general(
             ds, k_blk, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         return acc
 
-    acc = jax.lax.fori_loop(0, nk, body, jnp.zeros(q.shape, jnp.float32))
+    acc = jax.lax.fori_loop(0, nk, body, jnp.zeros(qs.shape, jnp.float32))
     dq_ref[...] = (acc * scale).astype(dq_ref.dtype)
 
 
@@ -183,41 +189,47 @@ def _flash_bwd_dkv_kernel(
 
     dv = pᵀ·dO, dk = scale · dsᵀ·Q accumulated across all Q blocks.
     """
-    k = k_ref[...].astype(jnp.float32)  # (R, bk, D)
-    v = v_ref[...].astype(jnp.float32)
+    k = k_ref[...]  # (R, bk, D)
+    v = v_ref[...]
     nq = q_ref.shape[1] // block_q
+    shape_f32 = (k.shape[0], k.shape[1], k.shape[2])
 
     def body(i, carry):
         dk, dv = carry
-        q_blk = q_ref[:, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        do_blk = do_ref[:, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        # scaled-q with the forward's exact rounding (fp32 scale -> cast)
+        qs_blk = (
+            q_ref[:, pl.ds(i * block_q, block_q), :].astype(jnp.float32) * scale
+        ).astype(q_ref.dtype)
+        do_blk = do_ref[:, pl.ds(i * block_q, block_q), :]
         lse_blk = lse_ref[:, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         delta_blk = delta_ref[:, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
         s = jax.lax.dot_general(
-            q_blk, k, (((2,), (2,)), ((0,), (0,))),
+            qs_blk, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ) * scale  # (R, bq, bk)
+        )  # (R, bq, bk) fp32
         p = jnp.exp(s - lse_blk)
+        pc = p.astype(do_blk.dtype)
         dv = dv + jax.lax.dot_general(
-            p, do_blk, (((1,), (1,)), ((0,), (0,))),
+            pc, do_blk, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # (R, bk, D)
         dp = jax.lax.dot_general(
             do_blk, v, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        ds = p * (dp - delta_blk)
+        ds = (p * (dp - delta_blk)).astype(qs_blk.dtype)
+        # dK = dSᵀ·Qs (Qs already carries the softmax scale)
         dk = dk + jax.lax.dot_general(
-            ds, q_blk, (((1,), (1,)), ((0,), (0,))),
+            ds, qs_blk, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         return dk, dv
 
     dk, dv = jax.lax.fori_loop(
         0, nq, body,
-        (jnp.zeros(k.shape, jnp.float32), jnp.zeros(v.shape, jnp.float32)),
+        (jnp.zeros(shape_f32, jnp.float32), jnp.zeros(shape_f32, jnp.float32)),
     )
-    dk_ref[...] = (dk * scale).astype(dk_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
     dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
@@ -314,7 +326,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention(
     q, k, v, *,
-    block_q: int = 512, block_k: int = 512, rows: int = 1,
+    block_q: int = 1024, block_k: int = 1024, rows: int = 1,
     bwd_impl: str = "pallas",
 ):
     """Flash attention over layout (B, N, H, D) -> (B, N, H, D).

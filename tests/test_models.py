@@ -31,10 +31,13 @@ class TestEmbeddings:
     def test_sincos_2d_shape_and_layout(self):
         emb = get_2d_sincos_pos_embed(64, 4)
         assert emb.shape == (16, 64)
-        # first half encodes height: rows in the same grid-row share it
-        np.testing.assert_allclose(emb[0, :32], emb[3, :32])
-        # second half encodes width: same column across rows shares it
-        np.testing.assert_allclose(emb[1, 32:], emb[5, 32:])
+        # Reference layout (`models/latte.py:416-433`, verified against the
+        # executed torch reference in test_reference_model_parity): the MAE
+        # code's `emb_h` actually receives the WIDTH positions, so the first
+        # half encodes width — same column across rows shares it...
+        np.testing.assert_allclose(emb[1, :32], emb[5, :32])
+        # ...and the second half encodes height — same grid-row shares it
+        np.testing.assert_allclose(emb[0, 32:], emb[3, 32:])
 
     def test_sincos_1d(self):
         emb = get_1d_sincos_pos_embed(32, 7)
