@@ -24,17 +24,47 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
-def save_checkpoint(path: str, state: TrainState) -> str:
-    """Save full train state to ``path`` (an orbax directory)."""
+_ASYNC = None
+
+
+def _async_checkpointer():
+    global _ASYNC
+    if _ASYNC is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC
+
+
+def save_checkpoint(path: str, state: TrainState, *, block: bool = True) -> str:
+    """Save full train state to ``path`` (an orbax directory).
+
+    ``block=False`` uses orbax's async checkpointer: device arrays are
+    snapshotted to host before the call returns (so the caller may donate
+    or mutate them immediately), while serialization + disk write proceed
+    in a background thread. Call :func:`wait_for_saves` before reading the
+    checkpoint back or exiting the process. The reference blocks training
+    for the entire torch.save (`/root/reference/train.py:260-271`).
+    """
     path = os.path.abspath(path)
     payload = {
         "step": np.asarray(state.step),
-        "params": jax.device_get(state.params),
-        "ema_params": jax.device_get(state.ema_params),
-        "opt_state": jax.device_get(state.opt_state),
+        "params": state.params,
+        "ema_params": state.ema_params,
+        "opt_state": state.opt_state,
     }
-    _checkpointer().save(path, payload, force=True)
+    if block:
+        payload = jax.device_get(payload)
+        _checkpointer().save(path, payload, force=True)
+    else:
+        _async_checkpointer().save(path, payload, force=True)
     return path
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight async checkpoint write has committed."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
 
 
 def load_checkpoint(path: str, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:

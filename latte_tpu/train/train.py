@@ -29,6 +29,7 @@ from latte_tpu.train.checkpoint import (
     latest_checkpoint,
     load_checkpoint,
     save_checkpoint,
+    wait_for_saves,
 )
 from latte_tpu.train.state import create_train_state, make_optimizer
 from latte_tpu.train.step import make_train_step
@@ -124,7 +125,10 @@ def make_batch_iterator(config, logger, global_batch: int):
     return synthetic(), False
 
 
-def main(config: Config) -> dict:
+def main(config: Config, callbacks=None) -> dict:
+    from latte_tpu.train.callbacks import CallbackList
+
+    cbs = CallbackList(callbacks)
     experiment_dir = create_experiment_dir(
         str(getattr(config, "results_dir", "./results")), config
     )
@@ -291,6 +295,7 @@ def main(config: Config) -> dict:
     max_steps = int(getattr(config, "max_train_steps", 1000))
     log_every = int(getattr(config, "log_every", 100))
     ckpt_every = int(getattr(config, "ckpt_every", 10000))
+    async_ckpt = bool(getattr(config, "async_checkpoint", True))
     rng = jax.random.PRNGKey(int(getattr(config, "global_seed", 0)))
 
     zero1 = bool(getattr(config, "zero1", False))
@@ -326,8 +331,10 @@ def main(config: Config) -> dict:
                 out_shardings=(state_sh, None),
                 donate_argnums=(0,),
             )
+        cbs.on_train_start(config, state, experiment_dir)
         running, t_start = [], time.perf_counter()
         last_metrics = {}
+        stop_step = max_steps
         for step_idx in range(start_step, max_steps):
             batch = shard_batch(mesh, next(batches))
             state, metrics = jitted_step(state, batch, rng, encode_params)
@@ -346,17 +353,29 @@ def main(config: Config) -> dict:
                     writer.add_scalar("train/grad_norm", gnorm, step_idx + 1)
                     writer.add_scalar("train/steps_per_sec", steps_per_sec, step_idx + 1)
                 last_metrics = {"loss": loss, "grad_norm": gnorm, "steps_per_sec": steps_per_sec}
+                cbs.on_log(step_idx + 1, last_metrics)
+                if cbs.should_stop(step_idx + 1, last_metrics):
+                    logger.info(f"early stop requested at step {step_idx + 1}")
+                    stop_step = step_idx + 1
+                    break
                 running, t_start = [], time.perf_counter()
             if (step_idx + 1) % ckpt_every == 0 and jax.process_index() == 0:
                 path = os.path.join(ckpt_dir, f"{step_idx + 1:07d}")
-                save_checkpoint(path, jax.device_get(state))
-                logger.info(f"saved checkpoint {path}")
+                # async by default: snapshot-to-host blocks, serialization
+                # and the disk write overlap with subsequent train steps
+                save_checkpoint(path, state, block=not async_ckpt)
+                logger.info(f"saved checkpoint {path}" + (" (async)" if async_ckpt else ""))
+                cbs.on_checkpoint(step_idx + 1, path)
 
     if jax.process_index() == 0:
-        save_checkpoint(os.path.join(ckpt_dir, f"{max_steps:07d}"), jax.device_get(state))
+        final_path = save_checkpoint(os.path.join(ckpt_dir, f"{stop_step:07d}"), state)
+        wait_for_saves()
+        cbs.on_checkpoint(stop_step, final_path)
     if writer is not None:
         writer.close()
-    return {"experiment_dir": experiment_dir, "final_step": max_steps, **last_metrics}
+    result = {"experiment_dir": experiment_dir, "final_step": stop_step, **last_metrics}
+    cbs.on_train_end(result)
+    return result
 
 
 def cli():

@@ -59,6 +59,39 @@ class TestTrainLoop:
         ckpts = os.listdir(os.path.join(out2["experiment_dir"], "checkpoints"))
         assert "0000008" in ckpts
 
+    def test_async_save_roundtrip(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from latte_tpu.train.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+            wait_for_saves,
+        )
+        from latte_tpu.train.state import create_train_state, make_optimizer
+
+        params = {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.zeros((4,))}
+        state = create_train_state(params, make_optimizer(lr=1e-3, warmup_steps=0))
+        path = save_checkpoint(str(tmp_path / "ckpt" / "0000001"), state, block=False)
+        # donation-safety: deleting the device buffers right after save()
+        # returns must not corrupt the write (data was snapshotted to host)
+        jax.tree_util.tree_map(
+            lambda a: a.delete() if isinstance(a, jax.Array) else None, state.params
+        )
+        wait_for_saves()
+        payload = load_checkpoint(path)
+        np.testing.assert_allclose(payload["params"]["w"][0, 0], 0.0)
+        np.testing.assert_allclose(
+            payload["params"]["w"], np.arange(12.0).reshape(3, 4)
+        )
+        jax.tree_util.tree_map(  # full-tree equality incl. opt state
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            jax.device_get(
+                {"params": {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.zeros((4,))}}
+            )["params"],
+            payload["params"],
+        )
+
     def test_class_conditional_loop(self, tmp_path):
         from latte_tpu.train.train import main
 
