@@ -2,10 +2,12 @@
 
 Capability parity with the reference's PyTorch-Lightning entry points
 (`/root/reference/train_pl.py`, `train_with_img_pl.py`): a class-based
-driver exposing fit / validate-style ergonomics over the same fused jitted
-loop as :mod:`latte_tpu.train.train` — loops, logging, checkpointing and
-device placement are what Lightning provided there, and they're native
-here, so this is a thin veneer rather than a second engine.
+driver exposing fit / resume ergonomics and Lightning-style callback
+hooks (:mod:`latte_tpu.train.callbacks`: on_train_start / on_log /
+on_checkpoint / on_train_end / should_stop early stopping) over the same
+fused jitted loop as :mod:`latte_tpu.train.train` — loops, logging,
+checkpointing and device placement are native there, so one engine serves
+both entry styles.
 """
 
 from __future__ import annotations
@@ -28,7 +30,9 @@ class Trainer:
         ckpt_every: Optional[int] = None,
         log_every: Optional[int] = None,
         results_dir: Optional[str] = None,
+        callbacks=None,
     ):
+        self.callbacks = list(callbacks or [])
         self._overrides: Dict = {}
         if max_steps is not None:
             self._overrides["max_train_steps"] = int(max_steps)
@@ -51,11 +55,11 @@ class Trainer:
     def fit(self, config) -> Dict:
         from latte_tpu.train.train import main
 
-        return main(self._resolve(config))
+        return main(self._resolve(config), callbacks=self.callbacks)
 
     def resume(self, config, checkpoint: str) -> Dict:
         cfg = self._resolve(config)
         cfg.resume_from_checkpoint = checkpoint
         from latte_tpu.train.train import main
 
-        return main(cfg)
+        return main(cfg, callbacks=self.callbacks)
