@@ -4,3 +4,7 @@ from latte_tpu.dist.mesh import (  # noqa: F401
     shard_batch,
     replicate,
 )
+from latte_tpu.dist.ring import (  # noqa: F401
+    ring_attention,
+    ring_attention_sharded,
+)

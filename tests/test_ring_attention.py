@@ -1,0 +1,62 @@
+"""Ring attention vs single-device attention on the 8-virtual-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from latte_tpu.dist.ring import ring_attention_sharded
+from latte_tpu.kernels.attention import attention_reference
+
+B, N, H, D = 2, 64, 2, 16
+
+
+def _qkv(seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    mk = lambda k: jax.random.normal(k, (B, N, H, D), dtype)
+    return tuple(mk(k) for k in ks)
+
+
+def _mesh(n):
+    return Mesh(np.array(jax.devices()[:n]), ("sp",))
+
+
+class TestRingAttention:
+    @pytest.mark.parametrize("n_dev", [1, 2, 8])
+    def test_forward_matches_full_attention(self, n_dev):
+        q, k, v = _qkv()
+        mesh = _mesh(n_dev)
+        out = jax.jit(lambda q, k, v: ring_attention_sharded(q, k, v, mesh))(q, k, v)
+        ref = attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_grad_matches_full_attention(self):
+        q, k, v = _qkv(1)
+        mesh = _mesh(8)
+
+        def loss_ring(q, k, v):
+            o = ring_attention_sharded(q, k, v, mesh)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(attention_reference(q, k, v).astype(jnp.float32) ** 2)
+
+        g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(q, k, v)
+        g_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+        for a, b, name in zip(g_ring, g_ref, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, err_msg=f"d{name}"
+            )
+
+    def test_uneven_softmax_mass(self):
+        # one giant logit on a remote shard: the running max must travel
+        # the ring correctly (exercises the logsumexp merge, not just the
+        # average case)
+        q, k, v = _qkv(2)
+        q = q.at[:, 0].set(q[:, 0] * 8.0)
+        k = k.at[:, N - 1].set(q[:, 0] * 8.0)  # huge score for token 0 vs N-1
+        mesh = _mesh(8)
+        out = jax.jit(lambda q, k, v: ring_attention_sharded(q, k, v, mesh))(q, k, v)
+        ref = attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
