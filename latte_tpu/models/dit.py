@@ -56,6 +56,7 @@ class SpatioTemporalPair(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     attention_mode: str = "auto"
+    quantized: bool = False
     activation_sharding: Optional[Tuple[str, ...]] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -84,6 +85,7 @@ class SpatioTemporalPair(nn.Module):
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
+            quantized=self.quantized,
             dtype=self.dtype,
             name="spatial",
         )(x, c_spatial)
@@ -98,6 +100,7 @@ class SpatioTemporalPair(nn.Module):
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
+            quantized=self.quantized,
             dtype=self.dtype,
             name="temporal",
         )(x, c_temp)
@@ -128,6 +131,9 @@ class Latte(nn.Module):
     learn_sigma: bool = True
     extras: int = 1
     attention_mode: str = "auto"
+    # W8A8 int8 serving for the hot block matmuls; params must come from
+    # latte_tpu.quant.quantize_params (see latte_tpu/quant/int8.py)
+    quantized: bool = False
     # mesh axes to shard the fused batch·token leading dim over, e.g.
     # ("dp", "sp") — sequence parallelism; requires jitting under a Mesh
     activation_sharding: Optional[Tuple[str, ...]] = None
@@ -216,6 +222,7 @@ class Latte(nn.Module):
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
+            quantized=self.quantized,
             activation_sharding=self.activation_sharding,
             dtype=self.dtype,
             name="blocks",

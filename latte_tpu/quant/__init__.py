@@ -1,0 +1,5 @@
+from latte_tpu.quant.int8 import (  # noqa: F401
+    int8_matmul,
+    quantize_params,
+    quantize_weight,
+)

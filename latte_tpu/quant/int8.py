@@ -1,0 +1,105 @@
+"""W8A8 int8 serving path (beyond the reference, which serves fp16/fp32).
+
+TPU v5e's MXU executes int8×int8→int32 matmuls at twice the bf16 rate and
+int8 weights halve HBM weight traffic, so the four hot per-token matmuls
+of each DiT block (qkv, proj, fc1, fc2) can run W8A8 for serving:
+
+- Weights: symmetric per-output-channel int8, quantized **once** offline
+  by :func:`quantize_params` (scales folded out of the matmul).
+- Activations: symmetric per-token dynamic int8 — the row-wise max is a
+  cheap VPU reduction fused by XLA into the surrounding elementwise chain.
+- Accumulation in int32, rescale in fp32, output in the model dtype.
+
+Conditioning/modulation layers (adaLN, final linear, patch embed) stay in
+floating point: they are token-count-cheap and zero-init-sensitive.
+
+Usage::
+
+    model = get_model("Latte-XL/2", ..., quantized=True)
+    qparams = quantize_params(fp_params)     # offline, once
+    out = model.apply({"params": qparams}, x, t)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# Dense layers that carry the per-token FLOPs; everything else stays fp.
+QUANT_TARGETS = ("qkv", "proj", "fc1", "fc2")
+
+
+def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int8 quantization.
+
+    ``w`` has shape (..., in, out) — possibly with a leading scanned-layer
+    axis. The scale is computed over the contraction (in) axis only, so it
+    has shape (..., 1, out) and broadcasts back exactly.
+    """
+    w = jnp.asarray(w)
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    w_i8 = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(
+        jnp.int8
+    )
+    return w_i8, scale.astype(jnp.float32)
+
+
+def int8_matmul(
+    x: jnp.ndarray,
+    w_i8: jnp.ndarray,
+    scale: jnp.ndarray,
+    out_dtype: jnp.dtype,
+) -> jnp.ndarray:
+    """W8A8 matmul: dynamic per-token activation quant, int32 accumulate.
+
+    x (..., in) @ w_i8 (in, out) * scale (1, out) -> (..., out).
+    """
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    ax = jnp.maximum(amax, 1e-8) / 127.0
+    x_i8 = jnp.clip(jnp.round(xf / ax), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_i8,
+        w_i8,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * ax * scale.reshape(-1)).astype(out_dtype)
+
+
+def _is_target(path) -> bool:
+    keys = [getattr(p, "key", None) for p in path]
+    # e.g. blocks/spatial/attn/qkv/kernel — the parent module must be the
+    # attention or MLP block (x_embedder's Dense is also named "proj")
+    return (
+        len(keys) >= 3
+        and keys[-1] == "kernel"
+        and keys[-2] in QUANT_TARGETS
+        and keys[-3] in ("attn", "mlp")
+    )
+
+
+def quantize_params(params):
+    """fp params tree -> quantized tree for a ``quantized=True`` model.
+
+    Each targeted ``{".../qkv|proj|fc1|fc2": {"kernel": w}}`` becomes
+    ``{"kernel_i8": int8, "kernel_scale": f32}``; biases and every other
+    leaf pass through unchanged.
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for path, leaf in flat:
+        keys = [p.key for p in path]
+        node = out
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        if _is_target(path):
+            w_i8, scale = quantize_weight(leaf)
+            node["kernel_i8"] = w_i8
+            node["kernel_scale"] = scale
+        else:
+            node[keys[-1]] = leaf
+    return out

@@ -1,0 +1,85 @@
+"""W8A8 int8 serving path: quantization accuracy + model-level parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latte_tpu.models import get_model
+from latte_tpu.quant import int8_matmul, quantize_params, quantize_weight
+
+
+class TestWeightQuant:
+    def test_roundtrip_within_half_step(self):
+        w = jax.random.normal(jax.random.PRNGKey(0), (64, 32)) * 0.2
+        w_i8, scale = quantize_weight(w)
+        assert w_i8.dtype == jnp.int8 and scale.shape == (1, 32)
+        deq = w_i8.astype(jnp.float32) * scale
+        step = np.asarray(scale)
+        assert np.all(np.abs(np.asarray(deq - w)) <= step / 2 + 1e-9)
+
+    def test_scanned_kernel_axes(self):
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 16, 8))
+        w_i8, scale = quantize_weight(w)
+        assert w_i8.shape == (3, 16, 8) and scale.shape == (3, 1, 8)
+
+    def test_int8_matmul_close_to_fp(self):
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, 17, 64))
+        w = jax.random.normal(jax.random.PRNGKey(3), (64, 32)) * 0.1
+        w_i8, scale = quantize_weight(w)
+        y_q = int8_matmul(x, w_i8, scale, jnp.float32)
+        y = x @ w
+        rel = np.linalg.norm(np.asarray(y_q - y)) / np.linalg.norm(np.asarray(y))
+        assert rel < 0.02, rel
+
+
+class TestQuantizedModel:
+    def _model_and_params(self, quantized):
+        from latte_tpu.models.dit import Latte
+
+        return Latte(
+            input_size=8,
+            num_frames=2,
+            extras=1,
+            learn_sigma=True,
+            attention_mode="xla",
+            hidden_size=64,
+            depth=2,
+            num_heads=4,
+            patch_size=2,
+            quantized=quantized,
+        )
+
+    def test_model_parity(self):
+        fp = self._model_and_params(False)
+        q = self._model_and_params(True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 4, 8, 8))
+        t = jnp.array([10, 500], jnp.int32)
+        variables = fp.init({"params": jax.random.PRNGKey(1)}, x, t)
+        params = variables["params"]
+        # break the zero-init of the final projection so outputs are nonzero
+        k = jax.random.normal(
+            jax.random.PRNGKey(2), params["final_layer"]["linear"]["kernel"].shape
+        ) * 0.02
+        params = jax.tree_util.tree_map(lambda a: a, params)
+        params["final_layer"]["linear"]["kernel"] = k
+        params["final_layer"]["adaLN_modulation"]["kernel"] = (
+            jax.random.normal(
+                jax.random.PRNGKey(3),
+                params["final_layer"]["adaLN_modulation"]["kernel"].shape,
+            )
+            * 0.02
+        )
+
+        out_fp = fp.apply({"params": params}, x, t)
+        qparams = quantize_params(params)
+        # targeted kernels replaced; everything else untouched
+        blk = qparams["blocks"]["spatial"]["attn"]["qkv"]
+        assert "kernel_i8" in blk and "kernel_scale" in blk and "kernel" not in blk
+        assert "kernel" in qparams["final_layer"]["linear"]
+
+        out_q = q.apply({"params": qparams}, x, t)
+        a, b = np.asarray(out_q, np.float64), np.asarray(out_fp, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert rel < 0.08, rel
+        assert cos > 0.995, cos
