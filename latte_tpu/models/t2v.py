@@ -30,7 +30,7 @@ from latte_tpu.models.embeddings import (
     get_1d_sincos_pos_embed,
     get_2d_sincos_pos_embed,
 )
-from latte_tpu.models.layers import PatchEmbed
+from latte_tpu.models.layers import PatchEmbed, QDense
 
 xavier = nn.initializers.xavier_uniform
 
@@ -49,18 +49,19 @@ class T2VFeedForward(nn.Module):
     mult: int = 4
     activation_fn: str = "gelu-approximate"
     chunk_size: Optional[int] = None
+    quantized: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         inner = self.dim * self.mult
         if self.activation_fn == "geglu":
-            proj_in = nn.Dense(inner * 2, dtype=self.dtype, kernel_init=xavier(), name="net_0_proj")
+            proj_in = QDense(inner * 2, quantized=self.quantized, dtype=self.dtype, name="net_0_proj")
         elif self.activation_fn == "gelu-approximate":
-            proj_in = nn.Dense(inner, dtype=self.dtype, kernel_init=xavier(), name="net_0_proj")
+            proj_in = QDense(inner, quantized=self.quantized, dtype=self.dtype, name="net_0_proj")
         else:
             raise NotImplementedError(self.activation_fn)
-        proj_out = nn.Dense(self.dim, dtype=self.dtype, kernel_init=xavier(), name="net_2")
+        proj_out = QDense(self.dim, quantized=self.quantized, dtype=self.dtype, name="net_2")
 
         def ff(h):
             h = proj_in(h)
@@ -95,6 +96,7 @@ class MultiHeadCrossAttention(nn.Module):
     head_dim: int
     qkv_bias: bool = True
     mode: str = "auto"
+    quantized: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -108,9 +110,9 @@ class MultiHeadCrossAttention(nn.Module):
         inner = self.num_heads * self.head_dim
         kv = x if context is None else context
         M = kv.shape[1]
-        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, kernel_init=xavier(), name="to_q")(x)
-        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, kernel_init=xavier(), name="to_k")(kv)
-        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, kernel_init=xavier(), name="to_v")(kv)
+        q = QDense(inner, use_bias=self.qkv_bias, quantized=self.quantized, dtype=self.dtype, name="to_q")(x)
+        k = QDense(inner, use_bias=self.qkv_bias, quantized=self.quantized, dtype=self.dtype, name="to_k")(kv)
+        v = QDense(inner, use_bias=self.qkv_bias, quantized=self.quantized, dtype=self.dtype, name="to_v")(kv)
         q = q.reshape(B, N, self.num_heads, self.head_dim)
         k = k.reshape(B, M, self.num_heads, self.head_dim)
         v = v.reshape(B, M, self.num_heads, self.head_dim)
@@ -139,7 +141,7 @@ class MultiHeadCrossAttention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
         out = out.reshape(B, N, inner)
-        return nn.Dense(self.dim, dtype=self.dtype, kernel_init=xavier(), name="to_out")(out)
+        return QDense(self.dim, quantized=self.quantized, dtype=self.dtype, name="to_out")(out)
 
 
 class T2VSpatialBlock(nn.Module):
@@ -151,6 +153,7 @@ class T2VSpatialBlock(nn.Module):
     activation_fn: str = "gelu-approximate"
     attention_mode: str = "auto"
     ff_chunk_size: Optional[int] = None
+    quantized: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -174,6 +177,7 @@ class T2VSpatialBlock(nn.Module):
             num_heads=self.num_heads,
             head_dim=self.head_dim,
             mode=self.attention_mode,
+            quantized=self.quantized,
             dtype=self.dtype,
             name="attn1",
         )(h)
@@ -184,6 +188,7 @@ class T2VSpatialBlock(nn.Module):
             num_heads=self.num_heads,
             head_dim=self.head_dim,
             mode="xla",
+            quantized=self.quantized,
             dtype=self.dtype,
             name="attn2",
         )(x, context=context, mask_bias=context_mask_bias)
@@ -193,7 +198,8 @@ class T2VSpatialBlock(nn.Module):
         h = h * (1 + scale_mlp) + shift_mlp
         x = x + gate_mlp * T2VFeedForward(
             dim=self.dim, activation_fn=self.activation_fn,
-            chunk_size=self.ff_chunk_size, dtype=self.dtype, name="ff"
+            chunk_size=self.ff_chunk_size, quantized=self.quantized,
+            dtype=self.dtype, name="ff"
         )(h)
         return x
 
@@ -207,6 +213,7 @@ class T2VTemporalBlock(nn.Module):
     activation_fn: str = "gelu-approximate"
     attention_mode: str = "auto"
     ff_chunk_size: Optional[int] = None
+    quantized: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -230,6 +237,7 @@ class T2VTemporalBlock(nn.Module):
             num_heads=self.num_heads,
             head_dim=self.head_dim,
             mode=self.attention_mode,
+            quantized=self.quantized,
             dtype=self.dtype,
             name="attn1",
         )(h)
@@ -240,7 +248,8 @@ class T2VTemporalBlock(nn.Module):
         h = h * (1 + scale_mlp) + shift_mlp
         x = x + gate_mlp * T2VFeedForward(
             dim=self.dim, activation_fn=self.activation_fn,
-            chunk_size=self.ff_chunk_size, dtype=self.dtype, name="ff"
+            chunk_size=self.ff_chunk_size, quantized=self.quantized,
+            dtype=self.dtype, name="ff"
         )(h)
         return x
 
@@ -291,6 +300,7 @@ class T2VPair(nn.Module):
     activation_fn: str = "gelu-approximate"
     attention_mode: str = "auto"
     ff_chunk_size: Optional[int] = None
+    quantized: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -307,6 +317,7 @@ class T2VPair(nn.Module):
             activation_fn=self.activation_fn,
             attention_mode=self.attention_mode,
             ff_chunk_size=self.ff_chunk_size,
+            quantized=self.quantized,
             dtype=self.dtype,
             name="spatial",
         )(x, t_spatial, context_sp, ctx_bias)
@@ -327,6 +338,7 @@ class T2VPair(nn.Module):
                 # where the 4×D activation memory lives); the temporal
                 # block's token axis is only F frames, so chunking it buys
                 # nothing and would impose F % chunk == 0.
+                quantized=self.quantized,
                 dtype=self.dtype,
                 name="temporal",
             )(x_video, t_temp)
@@ -355,6 +367,9 @@ class LatteT2V(nn.Module):
     attention_mode: str = "auto"
     enable_temporal_attentions: bool = True
     feed_forward_chunk_size: Optional[int] = None
+    # W8A8 int8 serving for the hot projections (to_q/k/v/out, FF);
+    # params from latte_tpu.quant.quantize_params
+    quantized: bool = False
     gradient_checkpointing: bool = False
     unroll_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -444,6 +459,7 @@ class LatteT2V(nn.Module):
             activation_fn=self.activation_fn,
             attention_mode=self.attention_mode,
             ff_chunk_size=self.feed_forward_chunk_size,
+            quantized=self.quantized,
             dtype=self.dtype,
             name="blocks",
         )(x, (t_spatial, t_temp, ctx_sp, ctx_bias, temp_pos_embed), is_first)

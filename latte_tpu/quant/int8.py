@@ -27,8 +27,17 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-# Dense layers that carry the per-token FLOPs; everything else stays fp.
-QUANT_TARGETS = ("qkv", "proj", "fc1", "fc2")
+# Dense layers that carry the per-token FLOPs, keyed by their parent
+# module scope; everything else stays fp. Covers the core Latte/LatteIMG
+# blocks (attn/mlp) and the LatteT2V diffusers-style blocks (attn1/attn2
+# self+cross attention, ff feed-forward).
+QUANT_TARGETS_BY_PARENT = {
+    "attn": ("qkv", "proj"),
+    "mlp": ("fc1", "fc2"),
+    "attn1": ("to_q", "to_k", "to_v", "to_out"),
+    "attn2": ("to_q", "to_k", "to_v", "to_out"),
+    "ff": ("net_0_proj", "net_2"),
+}
 
 
 def quantize_weight(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -72,13 +81,12 @@ def int8_matmul(
 
 def _is_target(path) -> bool:
     keys = [getattr(p, "key", None) for p in path]
-    # e.g. blocks/spatial/attn/qkv/kernel — the parent module must be the
-    # attention or MLP block (x_embedder's Dense is also named "proj")
+    # e.g. blocks/spatial/attn/qkv/kernel — the parent module must be an
+    # attention/MLP block (x_embedder's Dense is also named "proj")
     return (
         len(keys) >= 3
         and keys[-1] == "kernel"
-        and keys[-2] in QUANT_TARGETS
-        and keys[-3] in ("attn", "mlp")
+        and keys[-2] in QUANT_TARGETS_BY_PARENT.get(keys[-3], ())
     )
 
 

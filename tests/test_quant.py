@@ -83,3 +83,33 @@ class TestQuantizedModel:
         cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
         assert rel < 0.08, rel
         assert cos > 0.995, cos
+
+    def test_t2v_parity(self):
+        from latte_tpu.models.t2v import LatteT2V
+
+        cfg = dict(
+            num_attention_heads=2,
+            attention_head_dim=16,
+            num_layers=2,
+            patch_size=2,
+            sample_size=8,
+            cross_attention_dim=32,
+            caption_channels=64,
+            video_length=4,
+            attention_mode="xla",
+        )
+        fp = LatteT2V(**cfg)
+        q = LatteT2V(**cfg, quantized=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 16, 16))
+        t = jnp.array([37])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 10, 64))
+        mask = jnp.ones((1, 10), jnp.int32)
+        params = fp.init({"params": jax.random.PRNGKey(2)}, x, t, ctx, mask)["params"]
+        out_fp = fp.apply({"params": params}, x, t, ctx, mask)
+        qparams = quantize_params(params)
+        blk = qparams["blocks"]["spatial"]["attn1"]["to_q"]
+        assert "kernel_i8" in blk and "kernel" not in blk
+        out_q = q.apply({"params": qparams}, x, t, ctx, mask)
+        a, b = np.asarray(out_q, np.float64), np.asarray(out_fp, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        assert rel < 0.08, rel
