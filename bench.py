@@ -141,6 +141,58 @@ def main() -> None:
         except Exception as e:  # relay backends may not expose cost analysis
             extra["mfu_error"] = repr(e)[:120]
 
+        # --- W8A8 int8 serving: same DDIM protocol with the quantized
+        # model (weights int8 per-output-channel, activations dynamic
+        # per-token; latte_tpu/quant). Scripts/bench_int8.py measured the
+        # bare forward at ~2.05x bf16 on this chip.
+        try:
+            qmodel = model.clone(quantized=True)
+            qshapes = jax.eval_shape(
+                lambda: qmodel.init(
+                    {"params": rng}, jnp.zeros(x_shape, jnp.float32), t0c
+                )
+            )
+
+            @jax.jit
+            def init_q():
+                def mk(s):
+                    if s.dtype == jnp.int8:
+                        return jnp.zeros(s.shape, jnp.int8)
+                    if s.dtype == jnp.float32:
+                        return jnp.full(s.shape, 0.01, jnp.float32)
+                    return jnp.zeros(s.shape, jnp.bfloat16)
+
+                return jax.tree_util.tree_map(mk, qshapes)
+
+            qparams = init_q()
+
+            @jax.jit
+            def ddim_step_q(p, x, t_scalar):
+                def model_fn(xx, tt):
+                    return qmodel.apply(p, xx, tt)
+
+                t = jnp.full((x.shape[0],), t_scalar, jnp.int32)
+                return diffusion.ddim_sample(
+                    model_fn, x, t, jnp.zeros_like(x)
+                )["sample"]
+
+            def run_q(seed: int):
+                z = jax.random.normal(jax.random.PRNGKey(seed), x_shape, jnp.float32)
+                for t_scalar in ts:
+                    z = ddim_step_q(qparams, z, t_scalar)
+                return np.asarray(z[0, 0, 0, 0, 0])
+
+            run_q(1)
+            t0 = time.perf_counter()
+            vq = run_q(2)
+            q_elapsed = time.perf_counter() - t0
+            assert np.isfinite(vq)
+            extra["videos_per_min_int8_serving"] = round(
+                BATCH * 60.0 / q_elapsed, 3
+            )
+        except Exception as e:
+            extra["int8_error"] = repr(e)[:120]
+
         # --- decode-inclusive throughput: SD AutoencoderKL decode of the 16
         # latent frames (weights random — conv cost is value-independent)
         try:
