@@ -335,6 +335,7 @@ def main(config: Config, callbacks=None) -> dict:
         running, t_start = [], time.perf_counter()
         last_metrics = {}
         stop_step = max_steps
+        last_ckpt_step = None
         for step_idx in range(start_step, max_steps):
             batch = shard_batch(mesh, next(batches))
             state, metrics = jitted_step(state, batch, rng, encode_params)
@@ -364,13 +365,18 @@ def main(config: Config, callbacks=None) -> dict:
                 # async by default: snapshot-to-host blocks, serialization
                 # and the disk write overlap with subsequent train steps
                 save_checkpoint(path, state, block=not async_ckpt)
+                last_ckpt_step = step_idx + 1
                 logger.info(f"saved checkpoint {path}" + (" (async)" if async_ckpt else ""))
                 cbs.on_checkpoint(step_idx + 1, path)
 
     if jax.process_index() == 0:
-        final_path = save_checkpoint(os.path.join(ckpt_dir, f"{stop_step:07d}"), state)
+        # drain in-flight async writes BEFORE the final save: a sync save
+        # to the same step path would race the async writer's tmp dir
         wait_for_saves()
-        cbs.on_checkpoint(stop_step, final_path)
+        final_path = os.path.join(ckpt_dir, f"{stop_step:07d}")
+        if last_ckpt_step != stop_step:
+            save_checkpoint(final_path, state)
+            cbs.on_checkpoint(stop_step, final_path)
     if writer is not None:
         writer.close()
     result = {"experiment_dir": experiment_dir, "final_step": stop_step, **last_metrics}
