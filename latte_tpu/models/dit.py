@@ -57,6 +57,8 @@ class SpatioTemporalPair(nn.Module):
     mlp_ratio: float = 4.0
     attention_mode: str = "auto"
     quantized: bool = False
+    ring_mesh: Optional[object] = None
+    ring_axis: str = "sp"
     activation_sharding: Optional[Tuple[str, ...]] = None
     dtype: jnp.dtype = jnp.float32
 
@@ -86,6 +88,8 @@ class SpatioTemporalPair(nn.Module):
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
             quantized=self.quantized,
+            ring_mesh=self.ring_mesh,
+            ring_axis=self.ring_axis,
             dtype=self.dtype,
             name="spatial",
         )(x, c_spatial)
@@ -101,6 +105,8 @@ class SpatioTemporalPair(nn.Module):
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
             quantized=self.quantized,
+            ring_mesh=self.ring_mesh,
+            ring_axis=self.ring_axis,
             dtype=self.dtype,
             name="temporal",
         )(x, c_temp)
@@ -131,6 +137,12 @@ class Latte(nn.Module):
     learn_sigma: bool = True
     extras: int = 1
     attention_mode: str = "auto"
+    # attention_mode="ring": shard each attention's token axis over
+    # ring_axis of ring_mesh (latte_tpu/dist/ring.py) — sequences past
+    # one chip's HBM. The rest of the block is per-token, so XLA keeps
+    # activations token-sharded between attention calls.
+    ring_mesh: Optional[object] = None
+    ring_axis: str = "sp"
     # W8A8 int8 serving for the hot block matmuls; params must come from
     # latte_tpu.quant.quantize_params (see latte_tpu/quant/int8.py)
     quantized: bool = False
@@ -223,6 +235,8 @@ class Latte(nn.Module):
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
             quantized=self.quantized,
+            ring_mesh=self.ring_mesh,
+            ring_axis=self.ring_axis,
             activation_sharding=self.activation_sharding,
             dtype=self.dtype,
             name="blocks",

@@ -102,6 +102,10 @@ class Attention(nn.Module):
       - "xla":   einsum attention, softmax in fp32 (XLA fuses the chain).
       - "flash": Pallas flash-attention kernel (long-sequence spatial path).
       - "auto":  flash when the sequence is long enough to profit, else xla.
+      - "ring":  token axis sharded over ``ring_mesh``'s ``ring_axis``; K/V
+        shards rotate over ICI (`latte_tpu.dist.ring`) — for sequences
+        past one chip's HBM. Falls back to xla when the sequence length
+        isn't divisible by the axis size (e.g. short temporal sequences).
     """
 
     dim: int
@@ -109,6 +113,8 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     mode: str = "auto"
     quantized: bool = False
+    ring_mesh: Optional[object] = None  # jax.sharding.Mesh (static field)
+    ring_axis: str = "sp"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -135,7 +141,18 @@ class Attention(nn.Module):
             # temporal) sequences are faster on the plain fused XLA path.
             mode = "flash" if N >= 256 else "xla"
 
-        if mode == "flash":
+        if mode == "ring":
+            axis_size = dict(
+                zip(self.ring_mesh.axis_names, self.ring_mesh.devices.shape)
+            )[self.ring_axis]
+            mode = "xla" if N % axis_size else "ring"
+        if mode == "ring":
+            from latte_tpu.dist.ring import ring_attention_sharded
+
+            out = ring_attention_sharded(
+                q, k, v, self.ring_mesh, self.ring_axis
+            )  # (B, N, H, hd), token axis sharded over the ring
+        elif mode == "flash":
             from latte_tpu.kernels.attention import flash_attention
 
             out = flash_attention(q, k, v)  # (B, N, H, hd)
@@ -166,6 +183,8 @@ class AdaLNBlock(nn.Module):
     mlp_ratio: float = 4.0
     attention_mode: str = "auto"
     quantized: bool = False
+    ring_mesh: Optional[object] = None
+    ring_axis: str = "sp"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -189,6 +208,8 @@ class AdaLNBlock(nn.Module):
             qkv_bias=True,
             mode=self.attention_mode,
             quantized=self.quantized,
+            ring_mesh=self.ring_mesh,
+            ring_axis=self.ring_axis,
             dtype=self.dtype,
             name="attn",
         )(modulate(norm1, shift_msa, scale_msa))

@@ -49,6 +49,34 @@ class TestRingAttention:
                 np.asarray(a), np.asarray(b), atol=5e-4, err_msg=f"d{name}"
             )
 
+    def test_model_ring_mode_matches_xla(self):
+        # Full Latte with attention_mode="ring": spatial sequences (T=64)
+        # ring over 8 devices; temporal sequences (F=4, not divisible)
+        # auto-fall back to xla.
+        from latte_tpu.models.dit import Latte
+
+        mesh = _mesh(8)
+        kw = dict(
+            input_size=16,
+            patch_size=2,
+            num_frames=4,
+            extras=1,
+            learn_sigma=True,
+            hidden_size=32,
+            depth=2,
+            num_heads=2,
+        )
+        ref = Latte(**kw, attention_mode="xla")
+        ring = Latte(**kw, attention_mode="ring", ring_mesh=mesh, ring_axis="sp")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 16, 16))
+        t = jnp.array([7, 300], jnp.int32)
+        params = ref.init({"params": jax.random.PRNGKey(1)}, x, t)
+        out_ref = ref.apply(params, x, t)
+        out_ring = jax.jit(lambda p, x, t: ring.apply(p, x, t))(params, x, t)
+        np.testing.assert_allclose(
+            np.asarray(out_ring), np.asarray(out_ref), atol=3e-5
+        )
+
     def test_uneven_softmax_mass(self):
         # one giant logit on a remote shard: the running max must travel
         # the ring correctly (exercises the logsumexp merge, not just the
