@@ -151,6 +151,16 @@ def main(config: Config) -> str:
         )()
         logger.info("WARNING: no checkpoint found — sampling from random init")
 
+    # W8A8 int8 serving (`quantized: true`): quantize the loaded fp params
+    # once and run the hot block matmuls int8 on the MXU (latte_tpu/quant;
+    # ~2x the bf16 forward on v5e, measured docs/tpu_notes.md)
+    if bool(getattr(config, "quantized", False)):
+        from latte_tpu.quant import quantize_params
+
+        model = model.clone(quantized=True)
+        params = {"params": quantize_params(params["params"])}
+        logger.info("serving with W8A8 int8 block matmuls")
+
     diffusion = create_diffusion(str(config.num_sampling_steps))
     sample_fn, use_cfg = build_sample_fn(model, params, config, diffusion)
 

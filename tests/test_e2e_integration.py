@@ -116,6 +116,14 @@ class TestEndToEnd:
         assert latents.shape == (1, 4, 4, 16, 16)
         assert np.isfinite(latents).all()
 
+        # --- W8A8 int8 serving from the same checkpoint ---
+        sample_cfg.update(
+            {"quantized": True, "save_video_path": str(tmp_path / "gen" / "q.mp4")}
+        )
+        q_latents = np.load(sample_main(sample_cfg))["latents"]
+        assert q_latents.shape == latents.shape
+        assert np.isfinite(q_latents).all()
+
         # --- metric over real video dirs (fake detector) ---
         from latte_tpu.eval.metrics import calc_metric
 
