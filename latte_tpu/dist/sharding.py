@@ -69,6 +69,63 @@ def shard_params(params: Any, mesh: Mesh):
     )
 
 
+def fsdp_param_shardings(params: Any, mesh: Mesh):
+    """ZeRO-3 / FSDP: the weights themselves shard over ``dp``.
+
+    Each leaf's largest not-already-sharded, dp-divisible axis is split
+    over ``dp`` on top of the TP rules — 1/dp parameter (and EMA) memory
+    per chip. Under jit, GSPMD all-gathers a block's weights just before
+    its matmuls and reduce-scatters the gradients — the gather rides ICI
+    and overlaps with the previous block's compute (XLA's latency-hiding
+    scheduler), the classic FSDP schedule. Leaves too small to split
+    stay replicated (their memory is negligible).
+    """
+    dp = mesh.shape["dp"]
+
+    def rule(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        # only the scanned transformer blocks carry enough mass to be
+        # worth sharding; splitting the small embedder/final-layer leaves
+        # buys nothing and makes SPMD reshard their activations/grads
+        if "blocks" not in keys:
+            return NamedSharding(mesh, P())
+        base = _spec_for(keys, leaf)
+        shape = getattr(leaf, "shape", ())
+        spec = list(tuple(base) + (None,) * (len(shape) - len(tuple(base))))
+        # adaLN_modulation: shard the INPUT dim — its (B, 6D) output is a
+        # tiny broadcast conditioner, and output-dim sharding would force
+        # SPMD to reshard it every scan iteration
+        if (
+            "adaLN_modulation" in keys
+            and keys[-1] == "kernel"
+            and len(shape) >= 2
+            and shape[-2] % dp == 0
+        ):
+            spec[-2] = "dp"
+            return NamedSharding(mesh, P(*spec))
+        best, best_size = None, 0
+        for axis, size in enumerate(shape):
+            if spec[axis] is None and size % dp == 0 and size > best_size:
+                best, best_size = axis, size
+        if best is not None and best_size >= dp:
+            spec[best] = "dp"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def fsdp_opt_shardings(opt_state: Any, mesh: Mesh):
+    """ZeRO-3 optimizer moments: the SAME rule as the FSDP params.
+
+    optax's mu/nu trees mirror the param tree, so the path-based FSDP rule
+    lands each moment on exactly its parameter's sharding — no resharding
+    between the update and the next step (a mismatched axis choice, e.g.
+    ZeRO-1's largest-axis rule, makes SPMD fully rematerialize those
+    leaves every step). Scalars (count) replicate.
+    """
+    return fsdp_param_shardings(opt_state, mesh)
+
+
 def zero1_opt_shardings(opt_state: Any, mesh: Mesh):
     """ZeRO-1: shard optimizer moments over the ``dp`` axis.
 

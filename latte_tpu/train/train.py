@@ -299,28 +299,39 @@ def main(config: Config, callbacks=None) -> dict:
     rng = jax.random.PRNGKey(int(getattr(config, "global_seed", 0)))
 
     zero1 = bool(getattr(config, "zero1", False))
+    fsdp = bool(getattr(config, "fsdp", False))
     with mesh:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from latte_tpu.dist.sharding import param_shardings, zero1_opt_shardings
+        from latte_tpu.dist.sharding import (
+            fsdp_opt_shardings,
+            fsdp_param_shardings,
+            param_shardings,
+            zero1_opt_shardings,
+        )
         from latte_tpu.train.state import TrainState
 
         rep = NamedSharding(mesh, P())
-        p_shard = (
-            param_shardings(state.params, mesh)
-            if tp > 1
-            else jax.tree_util.tree_map(lambda _: rep, state.params)
-        )
-        opt_shard = (
-            zero1_opt_shardings(state.opt_state, mesh)
-            if zero1
-            else jax.tree_util.tree_map(lambda _: rep, state.opt_state)
-        )
+        if fsdp:
+            # ZeRO-3: weights + EMA dp-sharded (composes with TP rules)
+            p_shard = fsdp_param_shardings(state.params, mesh)
+        elif tp > 1:
+            p_shard = param_shardings(state.params, mesh)
+        else:
+            p_shard = jax.tree_util.tree_map(lambda _: rep, state.params)
+        if fsdp:
+            # moments mirror the FSDP param shardings exactly (no
+            # per-step resharding)
+            opt_shard = fsdp_opt_shardings(state.opt_state, mesh)
+        elif zero1:
+            opt_shard = zero1_opt_shardings(state.opt_state, mesh)
+        else:
+            opt_shard = jax.tree_util.tree_map(lambda _: rep, state.opt_state)
         state_sh = TrainState(
             step=rep, params=p_shard, ema_params=p_shard, opt_state=opt_shard
         )
         state = jax.tree_util.tree_map(jax.device_put, state, state_sh)
-        if tp > 1 or zero1 or sp > 1:
+        if tp > 1 or zero1 or sp > 1 or fsdp:
             # pin shardings through the step so ZeRO-1 moments stay
             # dp-split and TP weights stay column/row-split across steps
             jitted_step = jax.jit(
