@@ -101,6 +101,11 @@ def install_timm_shim() -> None:
     vit_mod.Mlp = Mlp
     models_mod.vision_transformer = vit_mod
     timm_mod.models = models_mod
+    # a module in sys.modules with __spec__ = None breaks later
+    # importlib.util.find_spec("timm") callers (e.g. transformers'
+    # _is_package_available raises "timm.__spec__ is None")
+    for m in (timm_mod, models_mod, vit_mod):
+        m.__spec__ = importlib.machinery.ModuleSpec(m.__name__, loader=None)
     sys.modules["timm"] = timm_mod
     sys.modules["timm.models"] = models_mod
     sys.modules["timm.models.vision_transformer"] = vit_mod
