@@ -9,9 +9,11 @@ Measurement notes (remote-attached TPU):
 - the sampling chain is value-dependent step-to-step and the final latents
   are materialized to host, so the timing cannot be faked by async dispatch
   (`block_until_ready` is unreliable through the relay);
-- the DDIM loop is host-driven (one jitted step, 50 dispatches): this
-  backend's compiler cannot handle an XLA while-loop around the full model,
-  and per-dispatch overhead is ~2ms against a ~60ms step.
+- the DDIM loop is measured both host-driven (one jitted step, 50
+  dispatches) and as one on-device `lax.scan` (single dispatch; the
+  round-1 relay compiler rejected this, current one accepts it and it is
+  slightly faster) — the headline takes the better of the two, both are
+  reported in `extra`.
 
 Baseline: the reference repo publishes no throughput number (BASELINE.md),
 and no A100 is available here, so ``A100_EST_VIDEOS_PER_MIN`` is a derived
@@ -116,7 +118,45 @@ def main() -> None:
     assert np.isfinite(val)
 
     videos_per_min = BATCH * n_runs * 60.0 / elapsed
-    extra = {}
+    extra = {"videos_per_min_host_loop": round(videos_per_min, 3)}
+
+    # --- fully on-device sampler: the whole DDIM chain as one lax.scan
+    # (one dispatch per video, zero host involvement). The round-1 relay
+    # compiler rejected a while-loop around the XL model; it compiles now.
+    def make_scan_sampler(m, p_tree):
+        ts_arr = jnp.arange(diffusion.num_timesteps - 1, -1, -1, jnp.int32)
+
+        @jax.jit
+        def sample_scan(p, z):
+            def body(zc, t_scalar):
+                t = jnp.full((zc.shape[0],), t_scalar, jnp.int32)
+                out = diffusion.ddim_sample(
+                    lambda xx, tt: m.apply(p, xx, tt), zc, t, jnp.zeros_like(zc)
+                )["sample"]
+                return out, None
+
+            zf, _ = jax.lax.scan(body, z, ts_arr)
+            return zf
+
+        return sample_scan
+
+    try:
+        scan_model = model.clone(unroll_blocks=False)
+        sample_scan = make_scan_sampler(scan_model, params)
+        z = jax.random.normal(jax.random.PRNGKey(9), x_shape, jnp.float32)
+        np.asarray(sample_scan(params, z)[0, 0, 0, 0, 0])  # compile
+        t0 = time.perf_counter()
+        for i in range(n_runs):
+            z = sample_scan(params, z)
+        val2 = np.asarray(z[0, 0, 0, 0, 0])
+        scan_elapsed = time.perf_counter() - t0
+        assert np.isfinite(val2)
+        scan_vpm = BATCH * n_runs * 60.0 / scan_elapsed
+        extra["videos_per_min_scan_loop"] = round(scan_vpm, 3)
+        if scan_vpm > videos_per_min:
+            videos_per_min, elapsed = scan_vpm, scan_elapsed
+    except Exception as e:
+        extra["scan_loop_error"] = repr(e)[:120]
 
     if os.environ.get("BENCH_QUICK", "") != "1":
         # --- model FLOPs (XLA cost analysis of the compiled DDIM step) and
@@ -166,26 +206,38 @@ def main() -> None:
 
             qparams = init_q()
 
-            @jax.jit
-            def ddim_step_q(p, x, t_scalar):
-                def model_fn(xx, tt):
-                    return qmodel.apply(p, xx, tt)
+            try:  # on-device scan loop first, host loop as fallback
+                q_scan = make_scan_sampler(qmodel.clone(unroll_blocks=False), qparams)
+                zq = jax.random.normal(jax.random.PRNGKey(5), x_shape, jnp.float32)
+                np.asarray(q_scan(qparams, zq)[0, 0, 0, 0, 0])  # compile
+                t0 = time.perf_counter()
+                for i in range(n_runs):
+                    zq = q_scan(qparams, zq)
+                vq = np.asarray(zq[0, 0, 0, 0, 0])
+                q_elapsed = (time.perf_counter() - t0) / n_runs
+            except Exception:
+                @jax.jit
+                def ddim_step_q(p, x, t_scalar):
+                    def model_fn(xx, tt):
+                        return qmodel.apply(p, xx, tt)
 
-                t = jnp.full((x.shape[0],), t_scalar, jnp.int32)
-                return diffusion.ddim_sample(
-                    model_fn, x, t, jnp.zeros_like(x)
-                )["sample"]
+                    t = jnp.full((x.shape[0],), t_scalar, jnp.int32)
+                    return diffusion.ddim_sample(
+                        model_fn, x, t, jnp.zeros_like(x)
+                    )["sample"]
 
-            def run_q(seed: int):
-                z = jax.random.normal(jax.random.PRNGKey(seed), x_shape, jnp.float32)
-                for t_scalar in ts:
-                    z = ddim_step_q(qparams, z, t_scalar)
-                return np.asarray(z[0, 0, 0, 0, 0])
+                def run_q(seed: int):
+                    z = jax.random.normal(
+                        jax.random.PRNGKey(seed), x_shape, jnp.float32
+                    )
+                    for t_scalar in ts:
+                        z = ddim_step_q(qparams, z, t_scalar)
+                    return np.asarray(z[0, 0, 0, 0, 0])
 
-            run_q(1)
-            t0 = time.perf_counter()
-            vq = run_q(2)
-            q_elapsed = time.perf_counter() - t0
+                run_q(1)
+                t0 = time.perf_counter()
+                vq = run_q(2)
+                q_elapsed = time.perf_counter() - t0
             assert np.isfinite(vq)
             extra["videos_per_min_int8_serving"] = round(
                 BATCH * 60.0 / q_elapsed, 3
