@@ -92,6 +92,21 @@ class TestTrainLoop:
             payload["params"],
         )
 
+    def test_fsdp_loop(self, tmp_path):
+        # ZeRO-3 through the CLI path: fsdp: true on the 8-virtual-device
+        # mesh; loss finite, checkpoint written and loadable
+        from latte_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
+        from latte_tpu.train.train import main
+
+        cfg = tiny_train_cfg(
+            tmp_path, fsdp=True, max_train_steps=3, log_every=3, ckpt_every=3
+        )
+        out = main(cfg)
+        assert np.isfinite(out["loss"])
+        ckpt = latest_checkpoint(os.path.join(out["experiment_dir"], "checkpoints"))
+        payload = load_checkpoint(ckpt)
+        assert int(payload["step"]) == 3
+
     def test_class_conditional_loop(self, tmp_path):
         from latte_tpu.train.train import main
 
