@@ -123,7 +123,7 @@ def main() -> None:
     # --- fully on-device sampler: the whole DDIM chain as one lax.scan
     # (one dispatch per video, zero host involvement). The round-1 relay
     # compiler rejected a while-loop around the XL model; it compiles now.
-    def make_scan_sampler(m, p_tree):
+    def make_scan_sampler(m):
         ts_arr = jnp.arange(diffusion.num_timesteps - 1, -1, -1, jnp.int32)
 
         @jax.jit
@@ -142,7 +142,7 @@ def main() -> None:
 
     try:
         scan_model = model.clone(unroll_blocks=False)
-        sample_scan = make_scan_sampler(scan_model, params)
+        sample_scan = make_scan_sampler(scan_model)
         z = jax.random.normal(jax.random.PRNGKey(9), x_shape, jnp.float32)
         np.asarray(sample_scan(params, z)[0, 0, 0, 0, 0])  # compile
         t0 = time.perf_counter()
@@ -207,7 +207,7 @@ def main() -> None:
             qparams = init_q()
 
             try:  # on-device scan loop first, host loop as fallback
-                q_scan = make_scan_sampler(qmodel.clone(unroll_blocks=False), qparams)
+                q_scan = make_scan_sampler(qmodel.clone(unroll_blocks=False))
                 zq = jax.random.normal(jax.random.PRNGKey(5), x_shape, jnp.float32)
                 np.asarray(q_scan(qparams, zq)[0, 0, 0, 0, 0])  # compile
                 t0 = time.perf_counter()

@@ -60,6 +60,9 @@ def ring_attention(q, k, v, *, axis_name: str):
     if n == 1:
         return out
     perm = [(j, (j + 1) % n) for j in range(n)]
+    # the running accumulator stays fp32 across the ring: rescaling a bf16
+    # accumulator every step compounds ~2^-8 rounding per merge
+    out = out.astype(jnp.float32)
 
     def step(carry, _):
         out, lse, kc, vc = carry
@@ -68,14 +71,13 @@ def ring_attention(q, k, v, *, axis_name: str):
         o_i, lse_i = _block_attn_lse(q, kc, vc)
         # merge two normalized partials: out' = Σ out_j · exp(lse_j − lse')
         lse_new = jnp.logaddexp(lse, lse_i)
-        out = (
-            out * jnp.exp(lse - lse_new).astype(out.dtype)
-            + o_i * jnp.exp(lse_i - lse_new).astype(out.dtype)
+        out = out * jnp.exp(lse - lse_new) + o_i.astype(jnp.float32) * jnp.exp(
+            lse_i - lse_new
         )
         return (out, lse_new, kc, vc), None
 
     (out, lse, _, _), _ = jax.lax.scan(step, (out, lse, k, v), None, length=n - 1)
-    return out
+    return out.astype(v.dtype)
 
 
 def ring_attention_sharded(q, k, v, mesh, axis: str = "sp"):

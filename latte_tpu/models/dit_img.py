@@ -32,6 +32,7 @@ class JointSpatioTemporalPair(nn.Module):
     num_video_frames: int
     mlp_ratio: float = 4.0
     attention_mode: str = "auto"
+    quantized: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -50,6 +51,7 @@ class JointSpatioTemporalPair(nn.Module):
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
+            quantized=self.quantized,
             dtype=self.dtype,
             name="spatial",
         )(x, c_spatial)
@@ -66,6 +68,7 @@ class JointSpatioTemporalPair(nn.Module):
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
+            quantized=self.quantized,
             dtype=self.dtype,
             name="temporal",
         )(x_video, c_temp)
@@ -93,6 +96,8 @@ class LatteIMG(nn.Module):
     extras: int = 1
     use_image_num: int = 0
     attention_mode: str = "auto"
+    # W8A8 int8 serving (latte_tpu/quant)
+    quantized: bool = False
     gradient_checkpointing: bool = False
     unroll_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -193,6 +198,7 @@ class LatteIMG(nn.Module):
             num_video_frames=Fv,
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
+            quantized=self.quantized,
             dtype=self.dtype,
             name="blocks",
         )(x, (c_spatial, c_temp, temp_embed), is_first)

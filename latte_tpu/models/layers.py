@@ -142,10 +142,18 @@ class Attention(nn.Module):
             mode = "flash" if N >= 256 else "xla"
 
         if mode == "ring":
-            axis_size = dict(
-                zip(self.ring_mesh.axis_names, self.ring_mesh.devices.shape)
-            )[self.ring_axis]
-            mode = "xla" if N % axis_size else "ring"
+            if self.ring_mesh is None:
+                raise ValueError(
+                    "attention_mode='ring' requires constructing the model "
+                    "with ring_mesh=<jax.sharding.Mesh> (and the mesh must "
+                    "name the ring_axis, default 'sp')"
+                )
+            if self.ring_axis not in self.ring_mesh.shape:
+                raise ValueError(
+                    f"ring_axis {self.ring_axis!r} not in mesh axes "
+                    f"{tuple(self.ring_mesh.shape)}"
+                )
+            mode = "xla" if N % self.ring_mesh.shape[self.ring_axis] else "ring"
         if mode == "ring":
             from latte_tpu.dist.ring import ring_attention_sharded
 

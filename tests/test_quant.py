@@ -84,6 +84,33 @@ class TestQuantizedModel:
         assert rel < 0.08, rel
         assert cos > 0.995, cos
 
+    def test_latte_img_parity(self):
+        from latte_tpu.models.dit_img import LatteIMG
+
+        kw = dict(
+            input_size=8,
+            patch_size=2,
+            hidden_size=64,
+            depth=2,
+            num_heads=4,
+            num_frames=2,
+            use_image_num=1,
+            extras=1,
+            learn_sigma=True,
+            attention_mode="xla",
+        )
+        fp = LatteIMG(**kw)
+        q = LatteIMG(**kw, quantized=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 4, 8, 8))  # 2 vid + 1 img
+        t = jnp.array([11], jnp.int32)
+        params = fp.init({"params": jax.random.PRNGKey(1)}, x, t)["params"]
+        out_fp = fp.apply({"params": params}, x, t)
+        qparams = quantize_params(params)
+        out_q = q.apply({"params": qparams}, x, t)
+        a, b = np.asarray(out_q, np.float64), np.asarray(out_fp, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        assert rel < 0.08, rel
+
     def test_t2v_parity(self):
         from latte_tpu.models.t2v import LatteT2V
 

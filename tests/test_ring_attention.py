@@ -77,6 +77,29 @@ class TestRingAttention:
             np.asarray(out_ring), np.asarray(out_ref), atol=3e-5
         )
 
+    def test_bf16_accumulation(self):
+        # bf16 inputs over the full 8-ring: the fp32 running accumulator
+        # must keep the result at single-merge error scale, not n-compounded
+        q, k, v = (a.astype(jnp.bfloat16) for a in _qkv(3))
+        mesh = _mesh(8)
+        out = jax.jit(lambda q, k, v: ring_attention_sharded(q, k, v, mesh))(q, k, v)
+        assert out.dtype == jnp.bfloat16
+        ref = attention_reference(
+            q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+        )
+        rel = np.linalg.norm(np.asarray(out, np.float64) - np.asarray(ref, np.float64)) / (
+            np.linalg.norm(np.asarray(ref, np.float64)) + 1e-12
+        )
+        assert rel < 0.02, rel
+
+    def test_ring_mode_requires_mesh(self):
+        from latte_tpu.models.layers import Attention
+
+        attn = Attention(dim=32, num_heads=2, mode="ring")
+        x = jnp.zeros((1, 64, 32))
+        with pytest.raises(ValueError, match="requires constructing"):
+            attn.init({"params": jax.random.PRNGKey(0)}, x)
+
     def test_uneven_softmax_mass(self):
         # one giant logit on a remote shard: the running max must travel
         # the ring correctly (exercises the logsumexp merge, not just the
