@@ -97,6 +97,8 @@ class MultiHeadCrossAttention(nn.Module):
     qkv_bias: bool = True
     mode: str = "auto"
     quantized: bool = False
+    ring_mesh: Optional[object] = None  # jax.sharding.Mesh (static field)
+    ring_axis: str = "sp"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -124,7 +126,25 @@ class MultiHeadCrossAttention(nn.Module):
                 if (context is None and mask_bias is None and N >= 256 and N % 128 == 0)
                 else "xla"
             )
-        if mode == "flash":
+        if mode == "ring":
+            if self.ring_mesh is None:
+                raise ValueError(
+                    "attention_mode='ring' requires constructing the model "
+                    "with ring_mesh=<jax.sharding.Mesh>"
+                )
+            # ring applies to self-attention only; cross-attention K/V (T5
+            # states) are short and masked — keep them on the XLA path
+            ok = (
+                context is None
+                and mask_bias is None
+                and N % self.ring_mesh.shape[self.ring_axis] == 0
+            )
+            mode = "ring" if ok else "xla"
+        if mode == "ring":
+            from latte_tpu.dist.ring import ring_attention_sharded
+
+            out = ring_attention_sharded(q, k, v, self.ring_mesh, self.ring_axis)
+        elif mode == "flash":
             from latte_tpu.kernels.attention import flash_attention
 
             out = flash_attention(q, k, v)
@@ -154,6 +174,8 @@ class T2VSpatialBlock(nn.Module):
     attention_mode: str = "auto"
     ff_chunk_size: Optional[int] = None
     quantized: bool = False
+    ring_mesh: Optional[object] = None
+    ring_axis: str = "sp"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -178,6 +200,8 @@ class T2VSpatialBlock(nn.Module):
             head_dim=self.head_dim,
             mode=self.attention_mode,
             quantized=self.quantized,
+            ring_mesh=self.ring_mesh,
+            ring_axis=self.ring_axis,
             dtype=self.dtype,
             name="attn1",
         )(h)
@@ -214,6 +238,8 @@ class T2VTemporalBlock(nn.Module):
     attention_mode: str = "auto"
     ff_chunk_size: Optional[int] = None
     quantized: bool = False
+    ring_mesh: Optional[object] = None
+    ring_axis: str = "sp"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -238,6 +264,8 @@ class T2VTemporalBlock(nn.Module):
             head_dim=self.head_dim,
             mode=self.attention_mode,
             quantized=self.quantized,
+            ring_mesh=self.ring_mesh,
+            ring_axis=self.ring_axis,
             dtype=self.dtype,
             name="attn1",
         )(h)
@@ -301,6 +329,8 @@ class T2VPair(nn.Module):
     attention_mode: str = "auto"
     ff_chunk_size: Optional[int] = None
     quantized: bool = False
+    ring_mesh: Optional[object] = None
+    ring_axis: str = "sp"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -318,6 +348,8 @@ class T2VPair(nn.Module):
             attention_mode=self.attention_mode,
             ff_chunk_size=self.ff_chunk_size,
             quantized=self.quantized,
+            ring_mesh=self.ring_mesh,
+            ring_axis=self.ring_axis,
             dtype=self.dtype,
             name="spatial",
         )(x, t_spatial, context_sp, ctx_bias)
@@ -339,6 +371,8 @@ class T2VPair(nn.Module):
                 # block's token axis is only F frames, so chunking it buys
                 # nothing and would impose F % chunk == 0.
                 quantized=self.quantized,
+                ring_mesh=self.ring_mesh,
+                ring_axis=self.ring_axis,
                 dtype=self.dtype,
                 name="temporal",
             )(x_video, t_temp)
@@ -370,6 +404,10 @@ class LatteT2V(nn.Module):
     # W8A8 int8 serving for the hot projections (to_q/k/v/out, FF);
     # params from latte_tpu.quant.quantize_params
     quantized: bool = False
+    # attention_mode="ring": self-attention token axes sharded over
+    # ring_axis of ring_mesh (cross-attention stays local)
+    ring_mesh: Optional[object] = None
+    ring_axis: str = "sp"
     gradient_checkpointing: bool = False
     unroll_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -460,6 +498,8 @@ class LatteT2V(nn.Module):
             attention_mode=self.attention_mode,
             ff_chunk_size=self.feed_forward_chunk_size,
             quantized=self.quantized,
+            ring_mesh=self.ring_mesh,
+            ring_axis=self.ring_axis,
             dtype=self.dtype,
             name="blocks",
         )(x, (t_spatial, t_temp, ctx_sp, ctx_bias, temp_pos_embed), is_first)

@@ -100,6 +100,37 @@ class TestRingAttention:
         with pytest.raises(ValueError, match="requires constructing"):
             attn.init({"params": jax.random.PRNGKey(0)}, x)
 
+    def test_t2v_ring_mode_matches_xla(self):
+        # LatteT2V self-attention rings over sp (spatial T=64); temporal
+        # (F=4) and cross-attention (masked T5 context) fall back to xla
+        from latte_tpu.models.t2v import LatteT2V
+
+        mesh = _mesh(8)
+        cfg = dict(
+            num_attention_heads=2,
+            attention_head_dim=16,
+            num_layers=2,
+            patch_size=2,
+            sample_size=16,
+            cross_attention_dim=32,
+            caption_channels=64,
+            video_length=4,
+        )
+        ref = LatteT2V(**cfg, attention_mode="xla")
+        ring = LatteT2V(**cfg, attention_mode="ring", ring_mesh=mesh)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 32, 32))
+        t = jnp.array([21])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 10, 64))
+        mask = jnp.ones((1, 10), jnp.int32)
+        params = ref.init({"params": jax.random.PRNGKey(2)}, x, t, ctx, mask)
+        out_ref = ref.apply(params, x, t, ctx, mask)
+        out_ring = jax.jit(
+            lambda p, x, t, c, m: ring.apply(p, x, t, c, m)
+        )(params, x, t, ctx, mask)
+        np.testing.assert_allclose(
+            np.asarray(out_ring), np.asarray(out_ref), atol=3e-5
+        )
+
     def test_uneven_softmax_mass(self):
         # one giant logit on a remote shard: the running max must travel
         # the ring correctly (exercises the logsumexp merge, not just the
