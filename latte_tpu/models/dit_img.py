@@ -24,6 +24,21 @@ from latte_tpu.models.embeddings import (
 from latte_tpu.models.layers import AdaLNBlock, FinalLayer, PatchEmbed, unpatchify
 
 
+
+def _remat_policy(name):
+    """Named rematerialization policies for the scanned block pairs.
+
+    - "full": recompute everything in the backward (max memory savings).
+    - "dots": save MXU (matmul) outputs, recompute elementwise chains --
+      skips the forward matmul replay in the backward at some activation
+      memory cost (jax.checkpoint_policies.dots_with_no_batch_dims_saveable).
+    """
+    if name in (None, "full"):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat_policy {name!r} (use 'full' or 'dots')")
+
 class JointSpatioTemporalPair(nn.Module):
     """Scanned (spatial, temporal) pair; temporal attends video frames only."""
 
@@ -99,6 +114,8 @@ class LatteIMG(nn.Module):
     # W8A8 int8 serving (latte_tpu/quant)
     quantized: bool = False
     gradient_checkpointing: bool = False
+    # remat policy when gradient_checkpointing: "full" | "dots"
+    remat_policy: str = "full"
     unroll_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -182,7 +199,9 @@ class LatteIMG(nn.Module):
         n_pairs = self.depth // 2
         pair_cls = JointSpatioTemporalPair
         if self.gradient_checkpointing:
-            pair_cls = nn.remat(pair_cls, prevent_cse=False)
+            policy = _remat_policy(self.remat_policy)
+            kw_remat = {"policy": policy} if policy is not None else {}
+            pair_cls = nn.remat(pair_cls, prevent_cse=False, **kw_remat)
         PairScan = nn.scan(
             pair_cls,
             variable_axes={"params": 0},

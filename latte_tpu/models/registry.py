@@ -63,6 +63,8 @@ def get_models(args):
         common["attention_mode"] = str(args.attention_mode)
     if getattr(args, "gradient_checkpointing", False):
         common["gradient_checkpointing"] = True
+        if getattr(args, "remat_policy", None):
+            common["remat_policy"] = str(args.remat_policy)
     name = args.model
     if name in LatteIMG_models:
         common["use_image_num"] = int(getattr(args, "use_image_num", 0))

@@ -35,6 +35,21 @@ from latte_tpu.models.layers import PatchEmbed, QDense
 xavier = nn.initializers.xavier_uniform
 
 
+
+def _remat_policy(name):
+    """Named rematerialization policies for the scanned block pairs.
+
+    - "full": recompute everything in the backward (max memory savings).
+    - "dots": save MXU (matmul) outputs, recompute elementwise chains --
+      skips the forward matmul replay in the backward at some activation
+      memory cost (jax.checkpoint_policies.dots_with_no_batch_dims_saveable).
+    """
+    if name in (None, "full"):
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat_policy {name!r} (use 'full' or 'dots')")
+
 class T2VFeedForward(nn.Module):
     """diffusers FeedForward: geglu | gelu-approximate projection in.
 
@@ -409,6 +424,8 @@ class LatteT2V(nn.Module):
     ring_mesh: Optional[object] = None
     ring_axis: str = "sp"
     gradient_checkpointing: bool = False
+    # remat policy when gradient_checkpointing: "full" | "dots"
+    remat_policy: str = "full"
     unroll_blocks: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -478,7 +495,9 @@ class LatteT2V(nn.Module):
         n_pairs = self.num_layers
         pair_cls = T2VPair
         if self.gradient_checkpointing:
-            pair_cls = nn.remat(pair_cls, prevent_cse=False)
+            policy = _remat_policy(self.remat_policy)
+            kw_remat = {"policy": policy} if policy is not None else {}
+            pair_cls = nn.remat(pair_cls, prevent_cse=False, **kw_remat)
         PairScan = nn.scan(
             pair_cls,
             variable_axes={"params": 0},

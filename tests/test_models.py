@@ -274,6 +274,23 @@ class TestModelOptions:
         for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
+    def test_remat_policy_dots_grads(self):
+        """remat_policy='dots' (save MXU outputs): same loss/grads as plain."""
+        m_plain = small_model()
+        m_dots = small_model(gradient_checkpointing=True, remat_policy="dots")
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 8, 8))
+        t = jnp.array([3])
+        params = m_plain.init({"params": jax.random.PRNGKey(1)}, x, t)
+
+        def loss(m, p):
+            return jnp.sum(m.apply(p, x, t) ** 2)
+
+        l1, g1 = jax.value_and_grad(lambda p: loss(m_plain, p))(params)
+        l2, g2 = jax.value_and_grad(lambda p: loss(m_dots, p))(params)
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
     def test_unroll_blocks_matches_scan(self):
         m_scan = small_model()
         m_unroll = small_model(unroll_blocks=True)
