@@ -171,8 +171,11 @@ def main() -> None:
             ca = ca[0] if isinstance(ca, (list, tuple)) else ca
             step_flops = float(ca.get("flops", 0.0))
             if step_flops > 0:
-                sec_per_video = elapsed / (BATCH * n_runs)
-                achieved = step_flops * STEPS / sec_per_video
+                # step_flops is for the WHOLE (BATCH, ...) step — divide by
+                # per-trajectory seconds (not per-video) or BATCH>1 would
+                # inflate the rate BATCH-fold
+                sec_per_traj = elapsed / n_runs
+                achieved = step_flops * STEPS / sec_per_traj
                 extra["step_tflops_xla"] = round(step_flops / 1e12, 3)
                 extra["achieved_tflops_per_s"] = round(achieved / 1e12, 1)
                 extra["mfu_pct_vs_v5e_bf16_197T"] = round(

@@ -61,11 +61,20 @@ def _select_frame_indices(
 
 def _apply_transform(transform, clip: np.ndarray, rng) -> np.ndarray:
     """Transforms take ``(video, rng)`` (rng drives the random flip);
-    plain single-argument callables are accepted for compatibility."""
+    plain single-argument callables are accepted for compatibility.
+
+    Arity is decided by signature inspection, NOT by catching TypeError —
+    a TypeError raised INSIDE a two-argument transform must propagate,
+    not silently retry without the seeded rng."""
+    import inspect
+
     try:
+        n_params = len(inspect.signature(transform).parameters)
+    except (TypeError, ValueError):  # builtins/partials without signatures
+        n_params = 2
+    if n_params >= 2:
         return transform(clip, rng)
-    except TypeError:
-        return transform(clip)
+    return transform(clip)
 
 
 class VideoFolderDataset:

@@ -69,12 +69,18 @@ def resize(video: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
 def resize_scale(video: np.ndarray, target: int) -> np.ndarray:
     """Scale so the SHORTER side equals ``target`` (aspect preserved).
 
-    Output dims use floor(H * scale), matching torch interpolate's
+    The longer side uses floor(dim * scale), matching torch interpolate's
     scale_factor semantics (`video_transforms.py:52-57` of the reference);
-    the shorter side lands exactly on ``target``."""
+    the shorter side is pinned to ``target`` exactly — a naive
+    floor(min * (target/min)) lands on target-1 for ~12% of source sizes
+    (fp rounding), which would crash the downstream center crop."""
     _, H, W, _ = video.shape
     scale = target / min(H, W)
-    return resize(video, (int(H * scale), int(W * scale)))
+    if H <= W:
+        nh, nw = target, max(target, int(W * scale))
+    else:
+        nh, nw = max(target, int(H * scale)), target
+    return resize(video, (nh, nw))
 
 
 def center_crop(video: np.ndarray, size: Tuple[int, int]) -> np.ndarray:

@@ -50,6 +50,7 @@ class MetricVideoDataset:
         seed: int = 0,
         random_offset: bool = True,
     ):
+        self.path = path
         self.num_frames = num_frames
         self.subsample_factor = subsample_factor
         self.random_offset = random_offset
@@ -122,6 +123,12 @@ class MetricVideoDataset:
             return None
         kind, src = self.clips[index]
         name = src if isinstance(src, str) else src[0]
+        # key by the path RELATIVE to the dataset root, mirroring
+        # _parse_labels' keys (which come from dataset.json's relative
+        # fnames): a flat mp4's key is its file stem — the absolute
+        # parent dir name would be the dataset dir itself, never a match
+        if self._zippath is None and os.path.isabs(name):
+            name = os.path.relpath(name, self.path)
         d = os.path.basename(os.path.dirname(name)) or os.path.splitext(
             os.path.basename(name)
         )[0]
@@ -147,9 +154,8 @@ class MetricVideoDataset:
         """Reference offset range: the full valid window
         ``[0, total - n*sub + sub - 1]`` (`dataset.py:406-409`)."""
         span = self.num_frames * self.subsample_factor
+        # last sampled index offset + (n-1)*sub stays < total at this hi
         hi = max(0, total - span + self.subsample_factor - 1)
-        # the last sampled index is offset + (n-1)*sub; keep it in range
-        hi = min(hi, max(0, total - 1 - (self.num_frames - 1) * self.subsample_factor))
         return self.rng.randint(0, hi) if self.random_offset else 0
 
     def _read_first_frame(self, path: str) -> np.ndarray:

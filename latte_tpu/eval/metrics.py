@@ -130,6 +130,7 @@ def generator_stats(
     batch_size: int = 16,
     capture_all: bool = False,
     frames_only: bool = False,
+    num_frames=None,
 ) -> FeatureStats:
     """Stream features straight from a generator callable — no mp4s hit
     disk (reference `compute_feature_stats_for_generator`,
@@ -137,6 +138,10 @@ def generator_stats(
 
     ``gen_fn(n) -> uint8 (n, F, H, W, 3)`` clips; with ``frames_only`` the
     clips are flattened to frames before the detector (image metrics).
+    ``num_frames``: when given, generated clips must match the metric's
+    temporal protocol — real features come from ``num_frames``-frame
+    clips, so a generator yielding a different length would produce an
+    FVD that's not comparable to the file-based number.
     """
     stats = FeatureStats(
         capture_all=capture_all, capture_mean_cov=True, max_items=max_items
@@ -146,6 +151,12 @@ def generator_stats(
         assert clips.dtype == np.uint8 and clips.ndim == 5, (
             f"gen_fn must yield uint8 (B,F,H,W,3); got {clips.dtype} {clips.shape}"
         )
+        if num_frames is not None and clips.shape[1] != num_frames:
+            raise ValueError(
+                f"fake_gen yielded {clips.shape[1]}-frame clips but this "
+                f"metric's protocol is {num_frames} frames — generate "
+                f"{num_frames}-frame clips (real features use that length)"
+            )
         x = clips.reshape(-1, *clips.shape[2:]) if frames_only else clips
         feats = feature_fn(detector, x)
         stats.append_sharded(np.asarray(feats, np.float32))
@@ -161,6 +172,7 @@ def _fake_video_stats(opts, detector, feature_fn, num_frames, capture_all=False)
             max_items=opts.get("max_fake", 2048),
             batch_size=opts.get("gen_batch_size", 16),
             capture_all=capture_all,
+            num_frames=num_frames,
         )
     return _video_stats(
         opts["fake_path"], detector, feature_fn, num_frames,

@@ -306,7 +306,10 @@ def _flash(q, k, v, block_q, block_k, rows, bwd_impl):
 def _flash_fwd(q, k, v, block_q, block_k, rows, bwd_impl):
     interpret = jax.default_backend() != "tpu"
     out, lse = _flash_forward(q, k, v, block_q, block_k, interpret, rows=rows)
-    return out, (q, k, v, out, lse)
+    # the xla fallback backward only needs (q, k, v) — don't pin a full
+    # activation (out) + lse through the backward for nothing
+    res = (q, k, v, out, lse) if bwd_impl == "pallas" else (q, k, v, None, None)
+    return out, res
 
 
 def _flash_bwd(block_q, block_k, rows, bwd_impl, res, g):

@@ -81,15 +81,37 @@ def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     return os.path.join(ckpt_dir, max(steps, key=int))
 
 
-def latest_checkpoint_under(results_dir: str) -> Optional[str]:
+def latest_checkpoint_under(
+    results_dir: str, model: Optional[str] = None
+) -> Optional[str]:
     """Scan every ``<results_dir>/*/checkpoints`` for the highest-step
     checkpoint — used when ``resume_from_checkpoint: true`` is set without
     a path (each run gets a fresh auto-indexed experiment dir, so the
-    current run's own checkpoints dir is always empty at startup)."""
+    current run's own checkpoints dir is always empty at startup).
+
+    When ``model`` is given, experiments whose saved ``config.yaml`` names
+    a DIFFERENT model are skipped — otherwise a higher-step checkpoint of
+    another architecture in the same results dir would win and fail (or
+    silently resume the wrong weights)."""
     if not os.path.isdir(results_dir):
         return None
+
+    def exp_model(exp: str) -> Optional[str]:
+        cfg = os.path.join(results_dir, exp, "config.yaml")
+        try:
+            import yaml
+
+            with open(cfg) as f:
+                return str(yaml.safe_load(f).get("model"))
+        except Exception:
+            return None  # unreadable config: don't exclude
+
     best, best_step = None, -1
     for exp in sorted(os.listdir(results_dir)):
+        if model is not None:
+            m = exp_model(exp)
+            if m is not None and m != str(model):
+                continue
         cand = latest_checkpoint(os.path.join(results_dir, exp, "checkpoints"))
         if cand is not None:
             step = int(os.path.basename(cand))

@@ -224,7 +224,8 @@ def main(config: Config, callbacks=None) -> dict:
             from latte_tpu.train.checkpoint import latest_checkpoint_under
 
             path = latest_checkpoint(ckpt_dir) or latest_checkpoint_under(
-                str(getattr(config, "results_dir", "./results"))
+                str(getattr(config, "results_dir", "./results")),
+                model=str(getattr(config, "model", "") or "") or None,
             )
             if path is None:
                 logger.warning(

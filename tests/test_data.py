@@ -53,6 +53,18 @@ class TestTransformPrimitives:
         assert out.shape[1] == 64
         assert out.shape[2] == int(301 * 64 / 100)  # floor, not round
 
+    def test_resize_scale_fp_rounding_never_undershoots(self):
+        """~12% of shorter-side values make floor(min*(t/min)) land on
+        t-1 via fp rounding (e.g. 347/389/394 @ 256) — the shorter side
+        must be pinned to the target or the center crop crashes."""
+        for short in (347, 389, 394, 255, 1000):
+            v = np.zeros((1, short, short + 57, 3), np.uint8)
+            out = vt.resize_scale(v, 256)
+            assert out.shape[1] == 256, short
+            assert out.shape[2] >= 256
+            cropped = vt.ucf_center_crop(v, 256)  # must not assert
+            assert cropped.shape[1:3] == (256, 256)
+
     def test_resize_interpolates_in_float(self):
         """No uint8 quantization: a 2-pixel [0, 1] edge resized up must
         produce fractional values."""

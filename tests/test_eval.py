@@ -204,6 +204,28 @@ class TestMetricsEndToEnd:
         got = {ds.get_label(i) for i in range(3)}
         assert got == {0, 10, 20}
 
+    def test_flat_mp4_dataset_json_labels(self, tmp_path):
+        """Flat mp4 layouts key labels by file stem (relative to the
+        dataset root), not by the absolute parent dir name."""
+        import json
+
+        from latte_tpu.eval.dataset import MetricVideoDataset
+        from latte_tpu.utils import save_video
+
+        root = tmp_path / "vids"
+        labels = {}
+        for c in range(3):
+            frames = np.full((6, 16, 16, 3), c * 40, np.uint8)
+            save_video(str(root / f"clip{c}.mp4"), frames, fps=8)
+            labels[f"clip{c}.mp4"] = c * 10
+        (root / "dataset.json").write_text(
+            json.dumps({"labels": list(labels.items())})
+        )
+        ds = MetricVideoDataset(str(root), num_frames=4, seed=0)
+        assert len(ds) == 3 and ds.has_labels
+        got = {ds.get_label(i) for i in range(3)}
+        assert got == {0, 10, 20}
+
     def test_image_dataset_iterates_every_frame(self, tmp_path):
         """FID protocol: every frame of every clip is an item
         (`video_to_image_dataset_kwargs`, `dataset.py:470-482`)."""
@@ -229,7 +251,8 @@ class TestMetricsEndToEnd:
 
         def fake_gen(n):
             calls.append(n)
-            return (rng.random((4, 8, 32, 32, 3)) * 255).astype(np.uint8)
+            # 16 frames: the metric's temporal protocol is enforced
+            return (rng.random((4, 16, 32, 32, 3)) * 255).astype(np.uint8)
 
         r = calc_metric(
             "fvd2048_16f", real_path=real, fake_gen=fake_gen,
@@ -255,7 +278,7 @@ class TestMetricsEndToEnd:
             {
                 "model": "Latte-S/2",
                 "image_size": 16,
-                "num_frames": 4,
+                "num_frames": 16,
                 "extras": 1,
                 "learn_sigma": True,
                 "num_sampling_steps": 2,
