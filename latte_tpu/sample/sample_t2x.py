@@ -77,6 +77,13 @@ def build_transformer(config, logger):
                 None,
             )
         )()
+    # W8A8 int8 serving (`quantized: true`) — same knob as sample.py
+    if bool(getattr(config, "quantized", False)):
+        from latte_tpu.quant import quantize_params
+
+        model = model.clone(quantized=True)
+        params = {"params": quantize_params(params["params"])}
+        logger.info("serving with W8A8 int8 block matmuls")
     return model, params
 
 
