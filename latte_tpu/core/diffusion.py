@@ -124,9 +124,16 @@ class GaussianDiffusion:
         self.posterior_variance = (
             betas * (1.0 - self.alphas_cumprod_prev) / (1.0 - self.alphas_cumprod)
         )
-        # log-var clipped because posterior variance is 0 at t=0.
+        # log-var clipped because posterior variance is 0 at t=0; for a
+        # single-step schedule there is no t=1 entry to borrow, so fall
+        # back to the (clipped) t=0 value
+        _pv1 = (
+            self.posterior_variance[1]
+            if len(self.posterior_variance) > 1
+            else max(self.posterior_variance[0], 1e-20)
+        )
         self.posterior_log_variance_clipped = np.log(
-            np.append(self.posterior_variance[1], self.posterior_variance[1:])
+            np.append(_pv1, self.posterior_variance[1:])
         )
         self.posterior_mean_coef1 = (
             betas * np.sqrt(self.alphas_cumprod_prev) / (1.0 - self.alphas_cumprod)
@@ -135,7 +142,7 @@ class GaussianDiffusion:
             (1.0 - self.alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - self.alphas_cumprod)
         )
         # FIXED_LARGE uses betas with the t=0 entry replaced by posterior var.
-        self._fixed_large_variance = np.append(self.posterior_variance[1], betas[1:])
+        self._fixed_large_variance = np.append(_pv1, betas[1:])
         self._fixed_large_log_variance = np.log(self._fixed_large_variance)
 
     # ------------------------------------------------------------------

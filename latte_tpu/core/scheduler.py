@@ -80,6 +80,16 @@ class BaseScheduler:
     def scale_model_input(self, sample: jnp.ndarray, t_index: jnp.ndarray, state) -> jnp.ndarray:
         return sample
 
+    def model_timestep(self, i, ts, state) -> jnp.ndarray:
+        """Training timestep to condition the model on for call ``i``.
+
+        Interleaved 2nd-order schedulers override this: the corrector
+        evaluation sits at a LATER sigma than ts[i] (Heun: the next grid
+        point; KDPM2Ancestral: the log-space midpoint), so conditioning
+        on ts[i] would mis-time every second model call. May return a
+        fractional timestep (the sinusoidal embedding is continuous)."""
+        return ts[i].astype(jnp.float32)
+
     def init_state(self, num_inference_steps: int, shape) -> Dict[str, Any]:
         return {}
 
@@ -146,7 +156,17 @@ class DDPMScheduler(BaseScheduler):
         coef_x0 = jnp.sqrt(alpha_prev) * cur_beta / (1 - alpha_bar)
         coef_xt = jnp.sqrt(cur_alpha) * (1 - alpha_prev) / (1 - alpha_bar)
         mean = coef_x0 * x0 + coef_xt * sample
-        var = jnp.clip((1 - alpha_prev) / (1 - alpha_bar) * cur_beta, min=1e-20)
+        if self.variance_type == "fixed_small":
+            var = jnp.clip((1 - alpha_prev) / (1 - alpha_bar) * cur_beta, min=1e-20)
+        elif self.variance_type == "fixed_large":
+            # diffusers fixed_large: the forward beta_t itself
+            var = jnp.clip(cur_beta, min=1e-20)
+        else:
+            raise NotImplementedError(
+                f"variance_type {self.variance_type!r}: only fixed_small / "
+                "fixed_large (learned variances flow through the iDDPM "
+                "engine in core/diffusion.py, not this scheduler)"
+            )
         if rng is not None:
             noise = jax.random.normal(rng, sample.shape, sample.dtype)
         else:
@@ -228,6 +248,19 @@ class HeunDiscreteScheduler(_KarrasMixin, BaseScheduler):
             "in_correction": jnp.zeros((), jnp.bool_),
         }
 
+    def scale_model_input(self, sample, i, state) -> jnp.ndarray:
+        # corrector evaluates at sigma_{i+1} — scale accordingly
+        # (diffusers Heun steps the interleaved sigma list the same way)
+        sig = jnp.where(
+            state["in_correction"], state["sigmas"][i + 1], state["sigmas"][i]
+        )
+        return sample / jnp.sqrt(sig**2 + 1)
+
+    def model_timestep(self, i, ts, state):
+        n = ts.shape[0]
+        t_next = ts[jnp.minimum(i + 1, n - 1)]
+        return jnp.where(state["in_correction"], t_next, ts[i]).astype(jnp.float32)
+
     def step(self, model_output, i, ts, sample, state, rng=None):
         sig, sig_next = state["sigmas"][i], state["sigmas"][i + 1]
         in_corr = state["in_correction"]
@@ -240,9 +273,7 @@ class HeunDiscreteScheduler(_KarrasMixin, BaseScheduler):
         prev_pred = sample + d * dt
         prev_corr = state["sample"] + 0.5 * (state["prev_derivative"] + d) * dt
         do_heun = sig_next > 0
-        prev = jnp.where(
-            in_corr, prev_corr, jnp.where(do_heun, prev_pred, prev_pred)
-        )
+        prev = jnp.where(in_corr, prev_corr, prev_pred)
         new_state = dict(
             state,
             prev_derivative=jnp.where(in_corr, state["prev_derivative"], d),
@@ -556,11 +587,33 @@ class KDPM2AncestralDiscreteScheduler(EulerAncestralDiscreteScheduler):
 
     def init_state(self, num_inference_steps, shape):
         base = super().init_state(num_inference_steps, shape)
+        ac = self.alphas_cumprod
+        all_sigmas = np.sqrt((1 - ac) / ac)
         return {
             "sigmas": base["sigmas"],
+            # full training-sigma table for sigma->t inversion (the
+            # corrector is conditioned at t(sigma_mid), diffusers
+            # KDPM2AncestralDiscreteScheduler._sigma_to_t)
+            "log_sigmas": _to_f32(np.log(all_sigmas)),
             "sample": jnp.zeros(shape, jnp.float32),
             "in_correction": jnp.zeros((), jnp.bool_),
         }
+
+    def model_timestep(self, i, ts, state):
+        _, _, _, _, sigma_mid = self._interval(state, i)
+        log_sigmas = state["log_sigmas"]
+        log_sigma = jnp.log(jnp.maximum(sigma_mid, 1e-10))
+        # piecewise-linear inversion of the (ascending) log-sigma table
+        # (k-diffusion sigma_to_t, as vendored by diffusers)
+        dists = log_sigma - log_sigmas
+        low_idx = jnp.clip(
+            jnp.sum((dists >= 0).astype(jnp.int32)) - 1, 0, log_sigmas.shape[0] - 2
+        )
+        high_idx = low_idx + 1
+        low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+        w = jnp.clip((low - log_sigma) / (low - high), 0.0, 1.0)
+        t_mid = (1 - w) * low_idx + w * high_idx
+        return jnp.where(state["in_correction"], t_mid, ts[i].astype(jnp.float32))
 
     def _interval(self, state, i):
         sig = state["sigmas"][i]
@@ -634,4 +687,10 @@ def get_scheduler(name: str, **kwargs):
         raise ValueError(f"unknown scheduler {name}; known: {sorted(SCHEDULERS)}")
     cls = SCHEDULERS[key]
     accepted = {f.name for f in dataclasses.fields(cls)}
-    return cls(**{k: v for k, v in kwargs.items() if k in accepted})
+    unknown = sorted(set(kwargs) - accepted)
+    if unknown:
+        raise ValueError(
+            f"{cls.__name__} does not accept {unknown}; accepted config "
+            f"keys: {sorted(accepted)}"
+        )
+    return cls(**kwargs)

@@ -62,7 +62,12 @@ class LattePipeline:
         def step_fn(params, latents, state, ctx, ctx_mask, i, ts, guidance_scale, rng, do_cfg):
             latent_in = jnp.concatenate([latents, latents]) if do_cfg else latents
             latent_in = self.scheduler.scale_model_input(latent_in, i, state)
-            t = jnp.full((latent_in.shape[0],), ts[i], jnp.int32)
+            # schedulers pick the conditioning timestep: interleaved
+            # 2nd-order correctors evaluate at a later (possibly
+            # fractional) sigma than ts[i] — the sinusoidal embedding is
+            # continuous, so a float32 timestep is fine
+            t_scalar = self.scheduler.model_timestep(i, ts, state)
+            t = jnp.full((latent_in.shape[0],), t_scalar, jnp.float32)
             noise_pred = self.transformer.apply(
                 params, latent_in, t, ctx, ctx_mask
             )

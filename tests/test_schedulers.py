@@ -352,3 +352,90 @@ class TestSecondOrderAccuracy:
         # once multistep kicks in, the algorithms diverge
         mid_diff = np.abs(t_deis[4] - t_dpm[4]).max()
         assert mid_diff > 1e-4, mid_diff
+
+
+class TestCorrectorConditioning:
+    """Interleaved 2nd-order schedulers must condition/scale the corrector
+    call at its LATER sigma, not ts[i] (diffusers parity)."""
+
+    def test_heun_corrector_timestep_and_scale(self):
+        import numpy as np
+
+        sched = get_scheduler("HeunDiscrete")
+        n = 10
+        ts = jnp.asarray(sched.timesteps(n), jnp.int32)
+        state = sched.init_state(n, SHAPE)
+        # predictor call at i=0 conditions on ts[0]
+        t0 = float(sched.model_timestep(jnp.int32(0), ts, state))
+        assert t0 == float(ts[0])
+        # after the predictor, in_correction is set; timestep becomes ts[1]
+        x = jnp.ones(SHAPE)
+        _, state = sched.step(jnp.zeros(SHAPE), jnp.int32(0), ts, x, state)
+        assert bool(state["in_correction"])
+        t_corr = float(sched.model_timestep(jnp.int32(0), ts, state))
+        assert t_corr == float(ts[1])
+        # and scale_model_input uses sigma_{1}
+        sig1 = float(state["sigmas"][1])
+        scaled = sched.scale_model_input(x, jnp.int32(0), state)
+        np.testing.assert_allclose(
+            np.asarray(scaled), 1.0 / np.sqrt(sig1**2 + 1), rtol=1e-6
+        )
+
+    def test_kdpm2a_corrector_timestep_is_midpoint(self):
+        sched = get_scheduler("KDPM2AncestralDiscrete")
+        n = 10
+        ts = jnp.asarray(sched.timesteps(n), jnp.int32)
+        state = sched.init_state(n, SHAPE)
+        _, state = sched.step(
+            jnp.zeros(SHAPE), jnp.int32(0), ts, jnp.ones(SHAPE), state,
+            rng=jax.random.PRNGKey(0),
+        )
+        assert bool(state["in_correction"])
+        t_mid = float(sched.model_timestep(jnp.int32(0), ts, state))
+        # the log-space midpoint of (sigma_i, sigma_down) sits below ts[i]
+        # (it can legitimately reach ts[i+1] or below — sigma_down < sigma_next)
+        assert 0.0 < t_mid < float(ts[0])
+        # and inverts sigma correctly: sigma(t_mid) == sigma_mid
+        _, _, _, _, sigma_mid = sched._interval(state, jnp.int32(0))
+        import numpy as np
+
+        ac = sched.alphas_cumprod
+        all_sig = np.sqrt((1 - ac) / ac)
+        lo, hi = int(np.floor(t_mid)), int(np.ceil(t_mid))
+        w = t_mid - lo
+        log_interp = (1 - w) * np.log(all_sig[lo]) + w * np.log(all_sig[hi]) if hi > lo else np.log(all_sig[lo])
+        np.testing.assert_allclose(log_interp, np.log(float(sigma_mid)), atol=1e-4)
+
+    def test_ddpm_variance_types(self):
+        import numpy as np
+
+        small = get_scheduler("DDPM", variance_type="fixed_small")
+        large = get_scheduler("DDPM", variance_type="fixed_large")
+        ts = jnp.asarray(small.timesteps(10), jnp.int32)
+        x = jnp.ones(SHAPE)
+        eps = jnp.zeros(SHAPE)
+        rng = jax.random.PRNGKey(1)
+        out_s, _ = small.step(eps, jnp.int32(2), ts, x, {}, rng=rng)
+        out_l, _ = large.step(eps, jnp.int32(2), ts, x, {}, rng=rng)
+        # same mean, different noise magnitude (beta_t > posterior var)
+        assert not np.allclose(np.asarray(out_s), np.asarray(out_l))
+        import pytest as _pytest
+
+        bad = get_scheduler("DDPM", variance_type="learned_range")
+        with _pytest.raises(NotImplementedError):
+            bad.step(eps, jnp.int32(2), ts, x, {}, rng=rng)
+
+    def test_get_scheduler_rejects_unknown_kwargs(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="does not accept"):
+            get_scheduler("EulerDiscrete", beta_shedule="linear")
+
+    def test_single_step_engine_constructs(self):
+        # "ddim1" is unconstructible by design (no integer stride yields
+        # exactly 1 step — same in the reference respacer); the 1-step
+        # path is the plain section count "1"
+        from latte_tpu.core.diffusion import create_diffusion
+
+        d = create_diffusion("1")
+        assert d.num_timesteps == 1
