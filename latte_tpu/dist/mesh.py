@@ -57,8 +57,24 @@ def make_mesh(
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place a host batch onto the mesh, sharded over the leading (batch) axis."""
+    """Place a host batch onto the mesh, sharded over the leading (batch) axis.
+
+    Single-process: ``x`` is the global batch, device_put splits it.
+    Multi-process: each host passes ONLY ITS OWN rows (global_batch /
+    process_count — the loader shards files per process) and the global
+    array is assembled from the per-process shards; device_put of a
+    "global" array per host would silently drop every row outside that
+    host's device offsets."""
     sharding = NamedSharding(mesh, P("dp"))
+    if jax.process_count() > 1:
+        import numpy as np
+
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 

@@ -83,10 +83,19 @@ def ring_attention(q, k, v, *, axis_name: str):
 def ring_attention_sharded(q, k, v, mesh, axis: str = "sp"):
     """Shard q/k/v token axis (dim 1) over ``axis`` and run ring attention.
 
-    Layout (B, N, H, D) with N divisible by the axis size; batch/head dims
-    stay replicated across the ring (shard them over dp/tp outside).
+    Layout (B, N, H, D) with N divisible by the axis size. When the mesh
+    also carries ``dp``/``tp`` axes, the batch dim shards over dp and the
+    head dim over tp — replicating them here would make shard_map
+    all-gather the full global batch onto every device, a dp-fold memory
+    blowup in exactly the long-sequence regime this op exists for.
     """
-    spec = P(None, axis, None, None)
+    names = set(mesh.axis_names)
+    spec = P(
+        "dp" if "dp" in names else None,
+        axis,
+        "tp" if "tp" in names else None,
+        None,
+    )
     fn = jax.shard_map(
         functools.partial(ring_attention, axis_name=axis),
         mesh=mesh,

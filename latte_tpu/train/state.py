@@ -32,11 +32,31 @@ def make_lr_schedule(
     )
 
 
+def trainable_temporal_attn_mask(params):
+    """fixed_spatial fine-tuning trainability mask: True only for the
+    temporal attention leaves (reference `train_with_img.py:124-134`)."""
+    import jax
+
+    def rule(path, _):
+        keys = jax.tree_util.keystr(path)
+        return ("temporal" in keys) and ("attn" in keys)
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
 def make_optimizer(
-    lr: float = 1e-4, weight_decay: float = 0.0, warmup_steps: int = 0
+    lr: float = 1e-4,
+    weight_decay: float = 0.0,
+    warmup_steps: int = 0,
+    decay_mask=None,
 ) -> optax.GradientTransformation:
+    """AdamW; ``decay_mask`` (pytree/callable of bools) restricts weight
+    decay to trainable leaves — frozen (zero-grad) params must not decay
+    (the reference's requires_grad=False exempts them implicitly)."""
     return optax.adamw(
-        make_lr_schedule(lr, warmup_steps), weight_decay=weight_decay
+        make_lr_schedule(lr, warmup_steps),
+        weight_decay=weight_decay,
+        mask=decay_mask,
     )
 
 

@@ -31,7 +31,11 @@ from latte_tpu.train.checkpoint import (
     save_checkpoint,
     wait_for_saves,
 )
-from latte_tpu.train.state import create_train_state, make_optimizer
+from latte_tpu.train.state import (
+    create_train_state,
+    make_optimizer,
+    trainable_temporal_attn_mask,
+)
 from latte_tpu.train.step import make_train_step
 from latte_tpu.utils import create_experiment_dir, create_logger
 
@@ -120,6 +124,10 @@ def make_batch_iterator(config, logger, global_batch: int):
                     batch["y_image"] = rng.integers(
                         0, nc, size=(global_batch, int(config.use_image_num)), dtype=np.int32
                     )
+            elif extras == 78:  # pooled-CLIP conditioning path
+                batch["text_embedding"] = rng.standard_normal(
+                    (global_batch, 77, 768), dtype=np.float32
+                )
             yield batch
 
     return synthetic(), False
@@ -127,11 +135,25 @@ def make_batch_iterator(config, logger, global_batch: int):
 
 def main(config: Config, callbacks=None) -> dict:
     from latte_tpu.train.callbacks import CallbackList
+    from latte_tpu.dist.mesh import barrier, initialize_distributed
+
+    # multi-host rendezvous BEFORE any backend use (no-op single-process;
+    # replaces the reference's setup_distributed NCCL/SLURM init)
+    initialize_distributed(
+        coordinator_address=getattr(config, "coordinator_address", None),
+        num_processes=getattr(config, "num_processes", None),
+        process_id=getattr(config, "process_id", None),
+    )
 
     cbs = CallbackList(callbacks)
-    experiment_dir = create_experiment_dir(
-        str(getattr(config, "results_dir", "./results")), config
-    )
+    results_dir = str(getattr(config, "results_dir", "./results"))
+    if jax.process_index() == 0:
+        experiment_dir = create_experiment_dir(results_dir, config)
+    barrier("experiment_dir")
+    if jax.process_index() != 0:
+        # join the dir process 0 just created (highest auto-index)
+        exps = sorted(os.listdir(results_dir))
+        experiment_dir = os.path.join(results_dir, exps[-1])
     logger = create_logger(experiment_dir)
     save_config(config, os.path.join(experiment_dir, "config.yaml"))
     ckpt_dir = os.path.join(experiment_dir, "checkpoints")
@@ -150,10 +172,16 @@ def main(config: Config, callbacks=None) -> dict:
     if getattr(config, "mixed_precision", False):
         model = model.clone(dtype=jnp.bfloat16)
     diffusion = create_diffusion("", diffusion_steps=1000)
+    fixed_spatial = bool(getattr(config, "fixed_spatial", False))
     optimizer = make_optimizer(
         lr=float(getattr(config, "learning_rate", 1e-4)),
         weight_decay=float(getattr(config, "weight_decay", 0.0)),
         warmup_steps=int(getattr(config, "lr_warmup_steps", 0) or 0),
+        # frozen leaves must not weight-decay: mask decay to the
+        # trainable (temporal attn) subset when fixed_spatial
+        decay_mask=(
+            trainable_temporal_attn_mask if fixed_spatial else None
+        ),
     )
 
     n_dev = jax.device_count()
@@ -184,17 +212,56 @@ def main(config: Config, callbacks=None) -> dict:
         if use_image_num:
             kw["y_image"] = jnp.zeros((1, use_image_num), jnp.int32)
             kw["train"] = True
-    variables = jax.jit(
-        lambda: model.init(init_rngs, x0, jnp.zeros((1,), jnp.int32), **kw)
-    )()
-    params = variables["params"]
+    def init_params():
+        return model.init(init_rngs, x0, jnp.zeros((1,), jnp.int32), **kw)["params"]
 
-    # optional partial pretrained load (reference `train.py:97-115`)
+    # ---- shardings from SHAPE METADATA before anything materializes: a
+    # fresh FSDP/TP start must never hold the full fp32 state (params +
+    # EMA + Adam moments, ~4x params) unsharded on one device
+    state_shapes = jax.eval_shape(lambda: create_train_state(init_params(), optimizer))
+
+    zero1 = bool(getattr(config, "zero1", False))
+    fsdp = bool(getattr(config, "fsdp", False))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from latte_tpu.dist.sharding import (
+        fsdp_opt_shardings,
+        fsdp_param_shardings,
+        param_shardings,
+        zero1_opt_shardings,
+    )
+    from latte_tpu.train.state import TrainState
+
+    rep = NamedSharding(mesh, P())
+    if fsdp:
+        p_shard = fsdp_param_shardings(state_shapes.params, mesh)
+    elif tp > 1:
+        p_shard = param_shardings(state_shapes.params, mesh)
+    else:
+        p_shard = jax.tree_util.tree_map(lambda _: rep, state_shapes.params)
+    if fsdp:
+        opt_shard = fsdp_opt_shardings(state_shapes.opt_state, mesh)
+    elif zero1:
+        opt_shard = zero1_opt_shardings(state_shapes.opt_state, mesh)
+    elif tp > 1:
+        # moments mirror the Megatron splits — replicated moments would
+        # cost 2x full-model fp32 per chip and reshard every step
+        opt_shard = param_shardings(state_shapes.opt_state, mesh)
+    else:
+        opt_shard = jax.tree_util.tree_map(lambda _: rep, state_shapes.opt_state)
+    state_sh = TrainState(
+        step=rep, params=p_shard, ema_params=p_shard, opt_state=opt_shard
+    )
+
+    # optional partial pretrained load (reference `train.py:97-115`):
+    # init runs SHARDED, loaded leaves overwrite matching-shape init leaves
     pretrained = getattr(config, "pretrained", None)
+    state = None
     if pretrained and os.path.exists(str(pretrained)):
         from latte_tpu.train.checkpoint import find_model
 
         loaded = find_model(str(pretrained), depth=model.depth, num_heads=model.num_heads)
+        params = jax.jit(init_params, out_shardings=p_shard)()
         flat_init = jax.tree_util.tree_leaves_with_path(params)
         loaded_flat = dict(jax.tree_util.tree_leaves_with_path(loaded))
         merged, skipped = [], 0
@@ -209,8 +276,10 @@ def main(config: Config, callbacks=None) -> dict:
             jax.tree_util.tree_structure(params), [v for _, v in merged]
         )
         logger.info(f"partial-loaded pretrained {pretrained} ({skipped} keys kept at init)")
-
-    state = create_train_state(params, optimizer)
+        state = jax.jit(
+            lambda p: create_train_state(p, optimizer), out_shardings=state_sh
+        )(params)
+        params = None
 
     # resume
     resume = getattr(config, "resume_from_checkpoint", None)
@@ -234,36 +303,47 @@ def main(config: Config, callbacks=None) -> dict:
                     "starting from scratch"
                 )
         if path:
-            # restore into the live STRUCTURE so optax NamedTuple states come
-            # back typed, not as raw dicts — but build the target from shape
-            # metadata only: device_get of the init state would pull the full
-            # XL state (≈11 GB) through the interconnect for nothing.
+            # restore into the state STRUCTURE so optax NamedTuple states
+            # come back typed, not as raw dicts — the target is built from
+            # shape metadata only (no init state is ever materialized,
+            # so nothing competes with the restored upload for HBM)
             host_zeros = lambda tree: jax.tree_util.tree_map(
-                lambda a: np.zeros(np.shape(a), np.dtype(a.dtype)), tree
+                lambda a: np.zeros(a.shape, np.dtype(a.dtype)), tree
             )
             target = {
-                "step": np.asarray(state.step.dtype.type(0)),
-                "params": host_zeros(state.params),
-                "ema_params": host_zeros(state.ema_params),
-                "opt_state": host_zeros(state.opt_state),
+                "step": np.zeros((), np.int32),
+                "params": host_zeros(state_shapes.params),
+                "ema_params": host_zeros(state_shapes.ema_params),
+                "opt_state": host_zeros(state_shapes.opt_state),
             }
             payload = load_checkpoint(path, target=target)
-            state = state.replace(
+            state = TrainState(
                 step=jnp.asarray(payload["step"], jnp.int32),
                 params=payload["params"],
                 ema_params=payload["ema_params"],
                 opt_state=payload["opt_state"],
             )
-            # free the discarded init state NOW: at XL scale the init state
-            # (params+EMA+moments ≈ 11 GB) plus the restored upload does not
-            # fit 16 GB HBM if both are live at the first jitted step.
             del payload
-            variables = None
-            params = None
             start_step = int(state.step)
             logger.info(f"resumed from {path} @ step {start_step}")
 
-    built = build_encode_fn(config)
+    if state is None:
+        # fresh start: the whole state is born sharded
+        state = jax.jit(
+            lambda: create_train_state(init_params(), optimizer),
+            out_shardings=state_sh,
+        )()
+
+    # each process loads only its rows; shard_batch assembles the global
+    # array from per-process shards on multi-host setups
+    host_batch = global_batch // jax.process_count()
+    batches, real_data = make_batch_iterator(config, logger, host_batch)
+    built = build_encode_fn(config) if real_data else None
+    if not real_data and getattr(config, "vae_ckpt", None):
+        # synthetic batches ARE latents — fusing a VAE encode would make
+        # the step read batch["video"], which the synthetic stream never
+        # produces (it would KeyError at the first jitted step)
+        logger.info("synthetic batches: VAE encode skipped (latents direct)")
     encode_fn, encode_params = built if built is not None else (None, None)
     if sp > 1:
         # sequence-parallel activations; model.init above ran without the
@@ -278,13 +358,12 @@ def main(config: Config, callbacks=None) -> dict:
         start_clip_iter=int(getattr(config, "start_clip_iter", 0) or 0),
         extras=extras,
         encode_fn=encode_fn,
-        fixed_spatial=bool(getattr(config, "fixed_spatial", False)),
+        fixed_spatial=fixed_spatial,
     )
     jitted_step = jax.jit(train_step, donate_argnums=(0,))
     if encode_params is not None:
         encode_params = jax.tree_util.tree_map(jnp.asarray, encode_params)
 
-    batches, real_data = make_batch_iterator(config, logger, global_batch)
     if encode_fn is None and real_data:
         raise ValueError(
             "dataset videos are raw pixels but no VAE is configured: set "
@@ -299,38 +378,9 @@ def main(config: Config, callbacks=None) -> dict:
     async_ckpt = bool(getattr(config, "async_checkpoint", True))
     rng = jax.random.PRNGKey(int(getattr(config, "global_seed", 0)))
 
-    zero1 = bool(getattr(config, "zero1", False))
-    fsdp = bool(getattr(config, "fsdp", False))
     with mesh:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from latte_tpu.dist.sharding import (
-            fsdp_opt_shardings,
-            fsdp_param_shardings,
-            param_shardings,
-            zero1_opt_shardings,
-        )
-        from latte_tpu.train.state import TrainState
-
-        rep = NamedSharding(mesh, P())
-        if fsdp:
-            # ZeRO-3: weights + EMA dp-sharded (composes with TP rules)
-            p_shard = fsdp_param_shardings(state.params, mesh)
-        elif tp > 1:
-            p_shard = param_shardings(state.params, mesh)
-        else:
-            p_shard = jax.tree_util.tree_map(lambda _: rep, state.params)
-        if fsdp:
-            # moments mirror the FSDP param shardings exactly (no
-            # per-step resharding)
-            opt_shard = fsdp_opt_shardings(state.opt_state, mesh)
-        elif zero1:
-            opt_shard = zero1_opt_shardings(state.opt_state, mesh)
-        else:
-            opt_shard = jax.tree_util.tree_map(lambda _: rep, state.opt_state)
-        state_sh = TrainState(
-            step=rep, params=p_shard, ema_params=p_shard, opt_state=opt_shard
-        )
+        # host-resident leaves (resume / pretrained merge) get placed per
+        # the precomputed shardings; already-sharded leaves are no-ops
         state = jax.tree_util.tree_map(jax.device_put, state, state_sh)
         if tp > 1 or zero1 or sp > 1 or fsdp:
             # pin shardings through the step so ZeRO-1 moments stay
@@ -372,23 +422,32 @@ def main(config: Config, callbacks=None) -> dict:
                     stop_step = step_idx + 1
                     break
                 running, t_start = [], time.perf_counter()
-            if (step_idx + 1) % ckpt_every == 0 and jax.process_index() == 0:
+            if (step_idx + 1) % ckpt_every == 0:
+                # EVERY process participates: orbax writes of cross-host
+                # sharded arrays (fsdp/zero1/tp) are collective. Async by
+                # default: snapshot-to-host blocks, serialization and the
+                # disk write overlap with subsequent train steps.
                 path = os.path.join(ckpt_dir, f"{step_idx + 1:07d}")
-                # async by default: snapshot-to-host blocks, serialization
-                # and the disk write overlap with subsequent train steps
                 save_checkpoint(path, state, block=not async_ckpt)
                 last_ckpt_step = step_idx + 1
-                logger.info(f"saved checkpoint {path}" + (" (async)" if async_ckpt else ""))
+                if jax.process_index() == 0:
+                    logger.info(
+                        f"saved checkpoint {path}"
+                        + (" (async)" if async_ckpt else "")
+                    )
                 cbs.on_checkpoint(step_idx + 1, path)
 
-    if jax.process_index() == 0:
-        # drain in-flight async writes BEFORE the final save: a sync save
-        # to the same step path would race the async writer's tmp dir
-        wait_for_saves()
-        final_path = os.path.join(ckpt_dir, f"{stop_step:07d}")
-        if last_ckpt_step != stop_step:
-            save_checkpoint(final_path, state)
-            cbs.on_checkpoint(stop_step, final_path)
+    # drain in-flight async writes BEFORE the final save: a sync save to
+    # the same step path would race the async writer's tmp dir
+    wait_for_saves()
+    final_path = os.path.join(ckpt_dir, f"{stop_step:07d}")
+    # skip when that step was already saved, or when nothing trained
+    # (resume step >= max_steps: a save here would mislabel the restored
+    # higher step as stop_step)
+    if last_ckpt_step != stop_step and stop_step > start_step:
+        save_checkpoint(final_path, state)
+        cbs.on_checkpoint(stop_step, final_path)
+    barrier("final_checkpoint")
     if writer is not None:
         writer.close()
     result = {"experiment_dir": experiment_dir, "final_step": stop_step, **last_metrics}
