@@ -31,7 +31,9 @@ def _padding4(v) -> Tuple[int, int, int, int]:
         return v, v, v, v
     v = tuple(int(x) for x in v)
     if len(v) == 2:
-        return v[0], v[1], v[0], v[1]
+        # reference convention (`upfirdn2d._parse_padding`): [padx, pady]
+        # -> (padx0, padx1, pady0, pady1) = (padx, padx, pady, pady)
+        return v[0], v[0], v[1], v[1]
     assert len(v) == 4
     return v
 

@@ -92,9 +92,9 @@ class LattePipeline:
             lambda p, l, s, c, m, i, ts, g, r: step_fn(p, l, s, c, m, i, ts, g, r, False)
         )
         if self.vae is not None:
-            self._decode_jit = jax.jit(
-                lambda p, z: self.vae.apply(p, z, method=self.vae.decode)
-            )
+            from latte_tpu.vae import make_decode_fn
+
+            self._decode = make_decode_fn(self.vae, self.vae_params)
         if self.temporal_decoder is not None:
             # hoisted: one jitted callable reused across calls, so jax's
             # jit cache persists (at most two shape specializations: the
@@ -162,6 +162,19 @@ class LattePipeline:
         batch = len(prompt)
         do_cfg = guidance_scale > 1.0
 
+        # temporal attention is baked into the transformer at construction
+        # (its params exist or not); a silently-ignored per-call toggle
+        # would return temporally-attended output for a caller who asked
+        # to disable it
+        built = bool(getattr(self.transformer, "enable_temporal_attentions", True))
+        if bool(enable_temporal_attentions) != built:
+            raise ValueError(
+                f"enable_temporal_attentions={enable_temporal_attentions} "
+                f"but the transformer was built with {built} — rebuild the "
+                "transformer (sample_t2x config enable_temporal_attentions) "
+                "to change it"
+            )
+
         ctx, ctx_mask = self.encode_prompt(
             prompt, negative_prompt, do_cfg=do_cfg, clean_caption=clean_caption
         )
@@ -204,7 +217,7 @@ class LattePipeline:
 
     # -- decoding --------------------------------------------------------
     def _decode_frames(self, flat: jnp.ndarray) -> np.ndarray:
-        return np.asarray(self._decode_jit(self.vae_params, flat))
+        return np.asarray(self._decode(flat))
 
     def decode_latents_image(self, latents) -> np.ndarray:
         return self.decode_latents(latents)

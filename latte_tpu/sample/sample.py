@@ -186,9 +186,10 @@ def main(config: Config) -> str:
     vae, vae_params = load_vae(config)
     if vae is not None:
         b, f = latents.shape[:2]
+        from latte_tpu.vae import make_decode_fn
+
         flat = latents.reshape(b * f, *latents.shape[2:]) / 0.18215
-        decode = jax.jit(lambda p, zz: vae.apply(p, zz, method=vae.decode))
-        video = np.asarray(decode(vae_params, flat))  # (b*f, 3, H, W)
+        video = np.asarray(make_decode_fn(vae, vae_params)(flat))  # (b*f, 3, H, W)
         video = video.reshape(b, f, *video.shape[1:]).transpose(0, 1, 3, 4, 2)
         save_video(out_path, to_uint8(video[0]), fps=8)
         logger.info(f"saved video to {out_path}")

@@ -53,7 +53,10 @@ class BatchGenerator:
         self.mesh = make_mesh(MeshConfig(dp=self.n_dev, tp=1))
         self.per_dev = int(getattr(config, "per_proc_batch_size", 2))
         self.global_batch = self.per_dev * self.n_dev
-        self.latent = int(config.image_size) // 8
+        # honor latent_size overrides like registry/sample.py/train.py do
+        self.latent = int(
+            getattr(config, "latent_size", 0) or int(config.image_size) // 8
+        )
         self.frames = int(getattr(config, "num_frames", 16))
         self.seed = int(getattr(config, "seed", 0))
         self.it = 0
@@ -76,15 +79,22 @@ class BatchGenerator:
                 logger.info("WARNING: no checkpoint — random init")
 
         diffusion = create_diffusion(str(config.num_sampling_steps))
-        self.sample_fn, self.use_cfg = build_sample_fn(model, params, config, diffusion)
+        # replicate FIRST so the jitted sampler closes over the mesh-
+        # replicated tree — building it over the device-0-committed params
+        # would broadcast from one chip every call and hold the weights
+        # in HBM twice
         with self.mesh:
             self.params = replicate(self.mesh, params)
+        self.sample_fn, self.use_cfg = build_sample_fn(
+            model, self.params, config, diffusion
+        )
 
         vae, vae_params = load_vae(config)
         self.decode = None
         if vae is not None:
-            decode_impl = jax.jit(lambda p, zz: vae.apply(p, zz, method=vae.decode))
-            self.decode = lambda zz: decode_impl(vae_params, zz)
+            from latte_tpu.vae import make_decode_fn
+
+            self.decode = make_decode_fn(vae, vae_params)
 
     def sample_latents(self) -> np.ndarray:
         """One global batch of latents, (global_batch, F, 4, h, w) fp32."""

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -105,7 +106,7 @@ def build_text_encoder(config, logger):
             m = np.zeros((len(prompts), self.max_length), np.int32)
             for i, p in enumerate(prompts):
                 for j, w in enumerate(p.split()[: self.max_length]):
-                    rng = np.random.default_rng(abs(hash(w)) % 2**31)
+                    rng = np.random.default_rng(zlib.crc32(w.encode()) % 2**31)
                     f[i, j] = rng.standard_normal(self.dim) * 0.02
                     m[i, j] = 1
             return jnp.asarray(f), jnp.asarray(m)
@@ -161,7 +162,10 @@ def main(config: Config) -> str:
     else:
         h = w = int(image_size)
     video_length = int(getattr(config, "video_length", 16))
-    prompts = list(getattr(config, "text_prompt", ["a beautiful sunset"]))
+    prompts = getattr(config, "text_prompt", ["a beautiful sunset"])
+    if isinstance(prompts, str):
+        prompts = [prompts]  # a scalar string would explode into characters
+    prompts = list(prompts)
 
     out_dir = str(getattr(config, "save_video_path", "./sample_videos/t2v"))
     os.makedirs(out_dir, exist_ok=True)

@@ -25,10 +25,17 @@ class FrozenCLIPEmbedder:
         self.tokenizer = tokenizer
         self.max_length = max_length
         # params are a jit ARGUMENT: closing over the (multi-GB for XXL)
-        # weight tree would bake it into the HLO as constants
+        # weight tree would bake it into the HLO as constants.
+        # position_ids is REQUIRED by FlaxCLIPTextModule.__call__ (the
+        # high-level wrapper normally synthesizes it; module.apply does not)
         self._encode_impl = jax.jit(
             lambda params, ids, mask: self.model.module.apply(
-                {"params": params}, input_ids=ids, attention_mask=mask
+                {"params": params},
+                input_ids=ids,
+                attention_mask=mask,
+                position_ids=jnp.broadcast_to(
+                    jnp.arange(ids.shape[1])[None, :], ids.shape
+                ),
             ).last_hidden_state
         )
         self._encode = lambda ids, mask: self._encode_impl(self.params, ids, mask)

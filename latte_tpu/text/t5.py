@@ -95,5 +95,7 @@ class T5TextEncoder:
             prompts = [prompts]
         cond, cond_mask = self.encode(prompts, clean=clean)
         neg = [negative_prompt] * len(prompts)
-        uncond, uncond_mask = self.encode(neg, clean=False)
+        # the reference cleans the uncond tokens with the SAME flag
+        # (`pipeline_latte.py:231`)
+        uncond, uncond_mask = self.encode(neg, clean=clean)
         return cond, cond_mask, uncond, uncond_mask
