@@ -90,10 +90,21 @@ def ring_attention_sharded(q, k, v, mesh, axis: str = "sp"):
     blowup in exactly the long-sequence regime this op exists for.
     """
     names = set(mesh.axis_names)
+    B, N, H, _ = q.shape
+    if N % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"ring attention: token axis {N} not divisible by mesh axis "
+            f"'{axis}' of size {mesh.shape[axis]}"
+        )
+    # only shard batch/head dims when they actually divide the axis —
+    # an indivisible spec would error inside shard_map instead of simply
+    # leaving that dim replicated
+    dp_ok = "dp" in names and B % mesh.shape["dp"] == 0 and mesh.shape["dp"] > 1
+    tp_ok = "tp" in names and H % mesh.shape["tp"] == 0 and mesh.shape["tp"] > 1
     spec = P(
-        "dp" if "dp" in names else None,
+        "dp" if dp_ok else None,
         axis,
-        "tp" if "tp" in names else None,
+        "tp" if tp_ok else None,
         None,
     )
     fn = jax.shard_map(

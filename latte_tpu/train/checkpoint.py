@@ -54,7 +54,12 @@ def save_checkpoint(path: str, state: TrainState, *, block: bool = True) -> str:
         "opt_state": state.opt_state,
     }
     if block:
-        payload = jax.device_get(payload)
+        if jax.process_count() == 1:
+            # single-process: host numpy trees serialize fastest
+            payload = jax.device_get(payload)
+        # multi-process: pass device arrays straight through — orbax's
+        # PyTreeCheckpointer performs the cross-host collective write for
+        # sharded arrays; device_get would raise on non-addressable shards
         _checkpointer().save(path, payload, force=True)
     else:
         _async_checkpointer().save(path, payload, force=True)
@@ -102,7 +107,10 @@ def latest_checkpoint_under(
             import yaml
 
             with open(cfg) as f:
-                return str(yaml.safe_load(f).get("model"))
+                m = yaml.safe_load(f).get("model")
+            # a config without a 'model' key must not exclude the
+            # candidate (str(None) == 'None' would never match)
+            return None if m is None else str(m)
         except Exception:
             return None  # unreadable config: don't exclude
 

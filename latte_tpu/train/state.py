@@ -21,9 +21,34 @@ class TrainState:
 
 
 def make_lr_schedule(
-    lr: float = 1e-4, warmup_steps: int = 0
+    lr: float = 1e-4,
+    warmup_steps: int = 0,
+    schedule: str = "warmup",
+    decay_steps: int = 0,
+    lr_min: float = 0.0,
 ) -> optax.Schedule:
-    """Linear warmup to ``lr`` then constant (the reference's scheduler)."""
+    """The reference's two LR schedules (`/root/reference/models/__init__.py:12-28`):
+
+    - ``"warmup"`` — linear warmup to ``lr`` then constant (the default the
+      train scripts actually use, `train.py:155-160`).
+    - ``"cosine"`` — torch ``CosineAnnealingLR`` semantics over
+      ``decay_steps`` (T_max): ``lr_min + (lr-lr_min)*(1+cos(pi*t/T_max))/2``,
+      composed after the same linear warmup.
+    """
+    if schedule == "cosine":
+        if decay_steps <= 0:
+            raise ValueError("cosine schedule requires decay_steps (T_max) > 0")
+        cosine = optax.cosine_decay_schedule(
+            lr, decay_steps, alpha=lr_min / lr if lr else 0.0
+        )
+        if warmup_steps <= 0:
+            return cosine
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup_steps), cosine],
+            boundaries=[warmup_steps],
+        )
+    if schedule != "warmup":
+        raise NotImplementedError(f"lr schedule {schedule!r}")
     if warmup_steps <= 0:
         return optax.constant_schedule(lr)
     return optax.join_schedules(
@@ -49,12 +74,17 @@ def make_optimizer(
     weight_decay: float = 0.0,
     warmup_steps: int = 0,
     decay_mask=None,
+    schedule: str = "warmup",
+    decay_steps: int = 0,
+    lr_min: float = 0.0,
 ) -> optax.GradientTransformation:
     """AdamW; ``decay_mask`` (pytree/callable of bools) restricts weight
     decay to trainable leaves — frozen (zero-grad) params must not decay
     (the reference's requires_grad=False exempts them implicitly)."""
     return optax.adamw(
-        make_lr_schedule(lr, warmup_steps),
+        make_lr_schedule(
+            lr, warmup_steps, schedule=schedule, decay_steps=decay_steps, lr_min=lr_min
+        ),
         weight_decay=weight_decay,
         mask=decay_mask,
     )

@@ -151,9 +151,18 @@ def main(config: Config, callbacks=None) -> dict:
         experiment_dir = create_experiment_dir(results_dir, config)
     barrier("experiment_dir")
     if jax.process_index() != 0:
-        # join the dir process 0 just created (highest auto-index)
-        exps = sorted(os.listdir(results_dir))
-        experiment_dir = os.path.join(results_dir, exps[-1])
+        # join the dir process 0 just created: restrict to the auto-index
+        # pattern NNN-<name> and pick the highest parsed index (a stray
+        # file that merely sorts last must not hijack the join, and the
+        # numeric parse survives >999 runs overflowing the zero padding)
+        exps = [
+            d
+            for d in os.listdir(results_dir)
+            if "-" in d and d.split("-")[0].isdigit()
+        ]
+        assert exps, f"no experiment dirs found under {results_dir}"
+        latest = max(exps, key=lambda d: int(d.split("-")[0]))
+        experiment_dir = os.path.join(results_dir, latest)
     logger = create_logger(experiment_dir)
     save_config(config, os.path.join(experiment_dir, "config.yaml"))
     ckpt_dir = os.path.join(experiment_dir, "checkpoints")
@@ -177,6 +186,15 @@ def main(config: Config, callbacks=None) -> dict:
         lr=float(getattr(config, "learning_rate", 1e-4)),
         weight_decay=float(getattr(config, "weight_decay", 0.0)),
         warmup_steps=int(getattr(config, "lr_warmup_steps", 0) or 0),
+        # reference get_lr_scheduler 'warmup' | 'cosine'
+        # (`/root/reference/models/__init__.py:21-28`)
+        schedule=str(getattr(config, "lr_schedule", "warmup")),
+        decay_steps=int(
+            getattr(config, "lr_decay_steps", 0)
+            or getattr(config, "max_train_steps", 0)
+            or 0
+        ),
+        lr_min=float(getattr(config, "lr_min", 0.0) or 0.0),
         # frozen leaves must not weight-decay: mask decay to the
         # trainable (temporal attn) subset when fixed_spatial
         decay_mask=(

@@ -31,6 +31,22 @@ class TestRingAttention:
         ref = attention_reference(q, k, v)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
+    def test_indivisible_head_or_batch_axes_fall_back_to_replicated(self):
+        # heads (2) not divisible by tp=4, batch (2) not divisible by dp=4:
+        # those dims must simply replicate rather than erroring in shard_map
+        q, k, v = _qkv(3)
+        devs = np.array(jax.devices()[:8]).reshape(1, 2, 4)
+        mesh = Mesh(devs, ("dp", "sp", "tp"))
+        out = jax.jit(lambda q, k, v: ring_attention_sharded(q, k, v, mesh))(q, k, v)
+        ref = attention_reference(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_indivisible_token_axis_raises_clearly(self):
+        q, k, v = _qkv(4)
+        mesh = Mesh(np.array(jax.devices()[:3]), ("sp",))  # 64 % 3 != 0
+        with pytest.raises(ValueError, match="not divisible"):
+            ring_attention_sharded(q, k, v, mesh)
+
     def test_grad_matches_full_attention(self):
         q, k, v = _qkv(1)
         mesh = _mesh(8)

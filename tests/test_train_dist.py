@@ -96,6 +96,28 @@ class TestTrainStep:
         np.testing.assert_allclose(float(sched(100)), 1e-4, rtol=1e-6)
         np.testing.assert_allclose(float(sched(10_000)), 1e-4, rtol=1e-6)
 
+    def test_lr_schedule_cosine(self):
+        # torch CosineAnnealingLR semantics (`/root/reference/models/__init__.py:21-28`):
+        # lr_min + (lr-lr_min)*(1+cos(pi*t/T_max))/2, after linear warmup
+        sched = make_lr_schedule(
+            1e-4, warmup_steps=0, schedule="cosine", decay_steps=1000, lr_min=1e-6
+        )
+        np.testing.assert_allclose(float(sched(0)), 1e-4, rtol=1e-6)
+        mid = 1e-6 + (1e-4 - 1e-6) * 0.5
+        np.testing.assert_allclose(float(sched(500)), mid, rtol=1e-5)
+        np.testing.assert_allclose(float(sched(1000)), 1e-6, rtol=1e-4)
+        # composed with warmup: cosine count starts after the boundary
+        sched = make_lr_schedule(
+            1e-4, warmup_steps=100, schedule="cosine", decay_steps=1000
+        )
+        np.testing.assert_allclose(float(sched(50)), 5e-5, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(100)), 1e-4, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(600)), 5e-5, rtol=1e-5)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            make_lr_schedule(1e-4, schedule="cosine", decay_steps=0)
+
     def test_update_ema_math(self):
         ema = {"w": jnp.ones((2,))}
         params = {"w": jnp.zeros((2,))}
