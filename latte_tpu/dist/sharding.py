@@ -92,17 +92,16 @@ def fsdp_param_shardings(params: Any, mesh: Mesh):
         base = _spec_for(keys, leaf)
         shape = getattr(leaf, "shape", ())
         spec = list(tuple(base) + (None,) * (len(shape) - len(tuple(base))))
-        # adaLN_modulation: shard the INPUT dim — its (B, 6D) output is a
-        # tiny broadcast conditioner, and output-dim sharding would force
-        # SPMD to reshard it every scan iteration
-        if (
-            "adaLN_modulation" in keys
-            and keys[-1] == "kernel"
-            and len(shape) >= 2
-            and shape[-2] % dp == 0
-        ):
-            spec[-2] = "dp"
-            return NamedSharding(mesh, P(*spec))
+        # adaLN_modulation kernels take the generic largest-axis rule, which
+        # lands on the OUTPUT (6D) dim. Input-dim sharding looks tempting
+        # (the (B, 6D) modulation output is a tiny broadcast conditioner)
+        # but is wrong: the backward dc = dmod @ W^T then emits dc with its
+        # FEATURE dim dp-sharded while the activation constraint wants the
+        # batch axis dp x sp-sharded — a transition GSPMD can only do by
+        # involuntary full rematerialization (seen as spmd_partitioner.cc
+        # warnings inside the scan body). Output-dim sharding makes that
+        # dot all-gather W instead — the standard FSDP schedule — and dc
+        # comes out batch-sharded, matching its consumer.
         best, best_size = None, 0
         for axis, size in enumerate(shape):
             if spec[axis] is None and size % dp == 0 and size > best_size:

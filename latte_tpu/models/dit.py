@@ -105,6 +105,7 @@ class SpatioTemporalPair(nn.Module):
             quantized=self.quantized,
             ring_mesh=self.ring_mesh,
             ring_axis=self.ring_axis,
+            activation_sharding=self.activation_sharding,
             dtype=self.dtype,
             name="spatial",
         )(x, c_spatial)
@@ -122,6 +123,7 @@ class SpatioTemporalPair(nn.Module):
             quantized=self.quantized,
             ring_mesh=self.ring_mesh,
             ring_axis=self.ring_axis,
+            activation_sharding=self.activation_sharding,
             dtype=self.dtype,
             name="temporal",
         )(x, c_temp)

@@ -193,6 +193,7 @@ class AdaLNBlock(nn.Module):
     quantized: bool = False
     ring_mesh: Optional[object] = None
     ring_axis: str = "sp"
+    activation_sharding: Optional[tuple] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -204,6 +205,20 @@ class AdaLNBlock(nn.Module):
             bias_init=zeros,
             name="adaLN_modulation",
         )(nn.silu(c))
+        if self.activation_sharding is not None:
+            # pin the (B·tokens, 6D) modulation to the batch-axis sharding
+            # its consumers use: with the FSDP-sharded kernel, an
+            # unconstrained output inherits the kernel's feature-dim dp
+            # sharding, and GSPMD can only reach the consumers' batch
+            # sharding by involuntary full rematerialization inside the
+            # scan body. Constrained, the partitioner all-gathers the
+            # weight instead — the standard FSDP schedule.
+            import jax as _jax
+            from jax.sharding import PartitionSpec as _P
+
+            mod = _jax.lax.with_sharding_constraint(
+                mod, _P(tuple(self.activation_sharding), None)
+            )
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
             mod, 6, axis=-1
         )

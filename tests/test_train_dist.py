@@ -289,3 +289,48 @@ class TestFSDP:
             rtol=2e-5,
             atol=2e-5,
         )
+
+    def test_zero3_hybrid_compiles_without_spmd_rematerialization(self, capfd):
+        """The flagship dp x sp x tp + ZeRO-3 stack must compile clean.
+
+        Round 2's passing dryrun carried two `spmd_partitioner.cc`
+        "Involuntary full rematerialization" warnings on the
+        adaLN_modulation dots inside the scanned while body — a per-block,
+        per-step replicate-and-reslice on a real pod. GSPMD emits the
+        warning on C++ stderr during compilation; capfd sees it.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from latte_tpu.dist.sharding import fsdp_opt_shardings, fsdp_param_shardings
+        from latte_tpu.train.state import TrainState
+
+        model, diffusion, optimizer, state = tiny_setup(extras=2)
+        mesh = make_mesh(MeshConfig(dp=2, tp=2, sp=2))
+        model = model.clone(activation_sharding=("dp", "sp"))
+        train_step = make_train_step(model, diffusion, optimizer, extras=2)
+        batch = {
+            "latents": jnp.zeros((4, 2, 4, 8, 8), jnp.float32),
+            "y": jnp.zeros((4,), jnp.int32),
+        }
+        with mesh:
+            p_shard = fsdp_param_shardings(state.params, mesh)
+            state_sh = TrainState(
+                step=NamedSharding(mesh, P()),
+                params=p_shard,
+                ema_params=p_shard,
+                opt_state=fsdp_opt_shardings(state.opt_state, mesh),
+            )
+            state = jax.tree_util.tree_map(jax.device_put, state, state_sh)
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P("dp"))), batch
+            )
+            jitted = jax.jit(
+                train_step,
+                in_shardings=(state_sh, NamedSharding(mesh, P("dp")), None),
+            )
+            compiled = jitted.lower(state, batch, jax.random.PRNGKey(0)).compile()
+            # also run it: partitioned-but-wrong programs usually fail here
+            _, metrics = jitted(state, batch, jax.random.PRNGKey(0))
+            assert np.isfinite(float(metrics["loss"]))
+        err = capfd.readouterr().err
+        assert "Involuntary full rematerialization" not in err, err[-3000:]
