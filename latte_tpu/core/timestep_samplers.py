@@ -17,6 +17,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _gather_to_host(x) -> np.ndarray:
+    """Materialize a (possibly multi-host-sharded) global array on every
+    process. Single-process arrays are fully addressable and transfer
+    directly; multi-process goes through ``process_allgather``."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def create_named_schedule_sampler(name: str, diffusion) -> "ScheduleSampler":
     if name == "uniform":
         return UniformSampler(diffusion)
@@ -60,6 +71,23 @@ class UniformSampler(ScheduleSampler):
 
 
 class LossAwareSampler(ScheduleSampler):
+    def update_with_local_losses(self, ts, losses) -> None:
+        """Feed per-step (t, loss) pairs, syncing across processes.
+
+        TPU equivalent of the reference's explicit NCCL all_gather of
+        per-rank batch sizes and padded loss tensors
+        (`/root/reference/diffusion/timestep_sampler.py:82-103`): ``ts`` /
+        ``losses`` may be global jax arrays from the jitted train step
+        (possibly non-addressable under multi-host dp sharding) — they are
+        materialized identically on every process before the history
+        update, so the resampling weights stay bit-identical across hosts
+        (divergent weights would silently de-synchronize the sampled
+        timesteps and with them every subsequent collective).
+        """
+        self.update_with_all_losses(
+            _gather_to_host(ts), _gather_to_host(losses)
+        )
+
     def update_with_all_losses(self, ts: np.ndarray, losses: np.ndarray) -> None:
         """Update the reweighting from globally-gathered (t, loss) pairs.
 

@@ -63,7 +63,15 @@ def make_train_step(
         else:
             latents = batch["latents"]
         B = latents.shape[0]
-        t = jax.random.randint(rng_t, (B,), 0, diffusion.num_timesteps, dtype=jnp.int32)
+        if "t" in batch:
+            # externally importance-sampled timesteps (schedule_sampler:
+            # loss-second-moment — reference analog
+            # `/root/reference/diffusion/timestep_sampler.py:44-79`)
+            t = batch["t"].astype(jnp.int32)
+        else:
+            t = jax.random.randint(
+                rng_t, (B,), 0, diffusion.num_timesteps, dtype=jnp.int32
+            )
 
         model_kwargs = {}
         if extras == 2:
@@ -87,7 +95,11 @@ def make_train_step(
             terms = diffusion.training_losses(
                 model_fn, latents, t, model_kwargs=model_kwargs, rng=rng_noise
             )
-            return jnp.mean(terms["loss"]), terms
+            per_sample = terms["loss"]
+            if "t_weights" in batch:
+                # importance-sampling correction: E_p[w(t) L(t)] = E_U[L]
+                per_sample = per_sample * batch["t_weights"]
+            return jnp.mean(per_sample), terms
 
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
 
@@ -130,6 +142,11 @@ def make_train_step(
         }
         if "vb" in terms:
             metrics["vb"] = jnp.mean(terms["vb"])
+        if "t" in batch:
+            # per-sample feedback for the loss-aware resampler (unweighted
+            # losses — the history tracks L(t), not w(t)L(t))
+            metrics["t_sampled"] = t
+            metrics["per_sample_loss"] = terms["loss"]
         return new_state, metrics
 
     return train_step

@@ -382,6 +382,21 @@ def main(config: Config, callbacks=None) -> dict:
     if encode_params is not None:
         encode_params = jax.tree_util.tree_map(jnp.asarray, encode_params)
 
+    # schedule_sampler: "uniform" (default) or "loss-second-moment"
+    # (reference `/root/reference/diffusion/timestep_sampler.py:13-150`).
+    # Loss-aware mode samples t host-side from the evolving weights, feeds
+    # it through the batch, and syncs the per-step (t, loss) history across
+    # processes after each step.
+    from latte_tpu.core.timestep_samplers import (
+        LossAwareSampler,
+        create_named_schedule_sampler,
+    )
+
+    schedule_sampler = create_named_schedule_sampler(
+        str(getattr(config, "schedule_sampler", "uniform") or "uniform"), diffusion
+    )
+    loss_aware = isinstance(schedule_sampler, LossAwareSampler)
+
     if encode_fn is None and real_data:
         raise ValueError(
             "dataset videos are raw pixels but no VAE is configured: set "
@@ -417,8 +432,24 @@ def main(config: Config, callbacks=None) -> dict:
         stop_step = max_steps
         last_ckpt_step = None
         for step_idx in range(start_step, max_steps):
-            batch = shard_batch(mesh, next(batches))
+            host = next(batches)
+            if loss_aware:
+                # every process draws the SAME global t vector (shared seed
+                # + identical synced weights), then contributes its rows
+                rng_t = jax.random.fold_in(
+                    jax.random.PRNGKey(int(getattr(config, "global_seed", 0)) ^ 0x5EED),
+                    step_idx,
+                )
+                t_all, w_all = schedule_sampler.sample(rng_t, global_batch)
+                lo = jax.process_index() * host_batch
+                host["t"] = np.asarray(t_all)[lo : lo + host_batch]
+                host["t_weights"] = np.asarray(w_all)[lo : lo + host_batch]
+            batch = shard_batch(mesh, host)
             state, metrics = jitted_step(state, batch, rng, encode_params)
+            if loss_aware:
+                schedule_sampler.update_with_local_losses(
+                    metrics["t_sampled"], metrics["per_sample_loss"]
+                )
             running.append(metrics)
             if (step_idx + 1) % log_every == 0:
                 # one host sync per log interval

@@ -290,6 +290,69 @@ class TestFSDP:
             atol=2e-5,
         )
 
+    def test_loss_aware_timestep_sampler_drives_the_step(self):
+        """schedule_sampler: loss-second-moment — t flows from the host
+        sampler through the dp-sharded batch, per-sample losses flow back,
+        and the synced weights evolve deterministically (a replay with the
+        same seeds reproduces them bit-for-bit, the single-controller
+        equivalent of 'identical across processes')."""
+        from latte_tpu.core.timestep_samplers import LossSecondMomentResampler
+
+        def run_once():
+            model, diffusion, optimizer, state = tiny_setup()
+            sampler = LossSecondMomentResampler(diffusion, history_per_term=2)
+            step = jax.jit(make_train_step(model, diffusion, optimizer, extras=1))
+            mesh = make_mesh(MeshConfig(dp=8))
+            with mesh:
+                for k in range(8):
+                    rng_t = jax.random.fold_in(jax.random.PRNGKey(99), k)
+                    t, w = sampler.sample(rng_t, 8)
+                    batch = shard_batch(
+                        mesh,
+                        {
+                            "latents": np.asarray(
+                                jax.random.normal(
+                                    jax.random.fold_in(jax.random.PRNGKey(5), k),
+                                    (8, 2, 4, 8, 8),
+                                )
+                            ),
+                            "t": np.asarray(t),
+                            "t_weights": np.asarray(w),
+                        },
+                    )
+                    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+                    # the step consumed the provided t (and reported it back)
+                    np.testing.assert_array_equal(
+                        np.asarray(metrics["t_sampled"]), np.asarray(t)
+                    )
+                    # feedback path: global sharded arrays -> host history
+                    sampler.update_with_local_losses(
+                        metrics["t_sampled"], metrics["per_sample_loss"]
+                    )
+            return sampler.weights()
+
+        w1 = run_once()
+        w2 = run_once()
+        np.testing.assert_array_equal(w1, w2)  # deterministic across replays
+        # 8 steps x 8 samples over 50 timesteps with history_per_term=2:
+        # warmup may not complete, but the history must be populated
+        assert w1.shape == (50,)
+        assert np.all(w1 > 0)
+
+    def test_loss_second_moment_weights_go_nonuniform_after_warmup(self):
+        from latte_tpu.core.diffusion import create_diffusion
+        from latte_tpu.core.timestep_samplers import LossSecondMomentResampler
+
+        diffusion = create_diffusion("", diffusion_steps=100)
+        s = LossSecondMomentResampler(diffusion, history_per_term=2)
+        # feed a loss profile increasing in t until fully warmed up
+        ts = np.tile(np.arange(100), 2)
+        s.update_with_all_losses(ts, 1.0 + ts.astype(np.float64))
+        w = s.weights()
+        assert not np.allclose(w, w[0])
+        assert np.argmax(w) == 99  # highest loss -> highest weight
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-12)
+
     def test_zero3_hybrid_compiles_without_spmd_rematerialization(self, capfd):
         """The flagship dp x sp x tp + ZeRO-3 stack must compile clean.
 

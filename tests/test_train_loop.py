@@ -45,6 +45,18 @@ class TestTrainLoop:
         ckpts = os.listdir(os.path.join(exp, "checkpoints"))
         assert "0000005" in ckpts and "0000006" in ckpts
 
+    def test_loss_aware_schedule_sampler_wired_into_cli(self, tmp_path):
+        from latte_tpu.train.train import main
+
+        out = main(
+            tiny_train_cfg(
+                tmp_path, schedule_sampler="loss-second-moment", max_train_steps=4,
+                ckpt_every=100, log_every=2,
+            )
+        )
+        assert out["final_step"] == 4
+        assert np.isfinite(out["loss"])
+
     def test_resume(self, tmp_path):
         from latte_tpu.train.checkpoint import latest_checkpoint, load_checkpoint
         from latte_tpu.train.train import main
