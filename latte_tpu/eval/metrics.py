@@ -22,6 +22,7 @@ from latte_tpu.eval.detectors import (
     c3d_probs,
     i3d_features,
     inception_features,
+    inception_probs,
     load_torchscript_detector,
 )
 from latte_tpu.eval.feature_stats import FeatureStats, cache_path
@@ -93,12 +94,15 @@ def _frame_stats(
     capture_all: bool = False,
     cache_dir: Optional[str] = None,
     seed: int = 0,
+    feature_fn=inception_features,
 ) -> FeatureStats:
     """Per-frame Inception stats for FID/KID/IS: EVERY frame of every clip
     is an item (reference `video_to_image_dataset_kwargs`,
     `tools/utils/dataset.py:470-482`); mp4s are decoded once, streamed."""
     if cache_dir:
-        cp = cache_path(cache_dir, path, 1, max_items, 1, capture_all)
+        cp = cache_path(
+            cache_dir, path, 1, max_items, 1, capture_all, feature_fn.__name__
+        )
         if os.path.exists(cp):
             return FeatureStats.load(cp)
     ds = MetricImageDataset(path)
@@ -109,13 +113,13 @@ def _frame_stats(
     for frame in ds:
         batch.append(frame)
         if len(batch) == batch_size:
-            feats = inception_features(detector, np.stack(batch))
+            feats = feature_fn(detector, np.stack(batch))
             stats.append_sharded(np.asarray(feats, np.float32))
             batch = []
             if stats.is_full():
                 break
     if batch and not stats.is_full():
-        feats = inception_features(detector, np.stack(batch))
+        feats = feature_fn(detector, np.stack(batch))
         stats.append_sharded(np.asarray(feats, np.float32))
     if cache_dir:
         stats.save(cp)
@@ -236,15 +240,18 @@ def isv2048_ucf(opts) -> Dict[str, float]:
     return {"isv2048_ucf_mean": mean, "isv2048_ucf_std": std}
 
 
-def _fake_frame_stats(opts, detector, max_items, capture_all=False):
+def _fake_frame_stats(
+    opts, detector, max_items, capture_all=False, feature_fn=inception_features
+):
     if opts.get("fake_gen") is not None:
         return generator_stats(
-            opts["fake_gen"], detector, inception_features,
+            opts["fake_gen"], detector, feature_fn,
             max_items=max_items, batch_size=opts.get("gen_batch_size", 16),
             capture_all=capture_all, frames_only=True,
         )
     return _frame_stats(
-        opts["fake_path"], detector, max_items=max_items, capture_all=capture_all
+        opts["fake_path"], detector, max_items=max_items, capture_all=capture_all,
+        feature_fn=feature_fn,
     )
 
 
@@ -276,9 +283,13 @@ def kid50k_full(opts) -> Dict[str, float]:
 
 @register_metric
 def is50k(opts) -> Dict[str, float]:
+    # IS runs on class PROBABILITIES (detector called with
+    # no_output_bias=True, reference `inception_score.py:21`), not the
+    # pool3 features FID/KID use.
     detector = opts.get("detector") or load_torchscript_detector("inception")
     fake = _fake_frame_stats(
-        opts, detector, max_items=opts.get("max_fake", 50000), capture_all=True
+        opts, detector, max_items=opts.get("max_fake", 50000), capture_all=True,
+        feature_fn=inception_probs,
     )
     mean, std = inception_score(fake.get_all(), num_splits=10)
     return {"is50k_mean": mean, "is50k_std": std}

@@ -312,3 +312,107 @@ class TestMetricsEndToEnd:
             "is50k",
         }
         assert expected <= set(list_metrics())
+
+
+class TestStandinPipeline:
+    """End-to-end protocol chain with the deterministic stand-in detector
+    (runs/metrics_standin is the full-scale recorded artifact)."""
+
+    def _make_dirs(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from scripts.make_tiny_dataset import make_clip
+        from latte_tpu.tools.convert_videos_to_frames import convert_one
+
+        real_mp4 = tmp_path / "real_mp4"
+        fake_mp4 = tmp_path / "fake_mp4"
+        for d, base in ((real_mp4, 0), (fake_mp4, 100)):
+            d.mkdir()
+            # >= 10 fake clips: the video-IS protocol averages 10 splits
+            for i in range(12):
+                save_video(str(d / f"c{i}.mp4"), make_clip(base + i, 24, 32))
+        real_fr, fake_fr = tmp_path / "real_fr", tmp_path / "fake_fr"
+        for src, dst in ((real_mp4, real_fr), (fake_mp4, fake_fr)):
+            for f in sorted(os.listdir(src)):
+                convert_one(str(src / f), str(src), str(dst), None)
+        return str(real_fr), str(fake_fr)
+
+    def test_all_five_metrics_finite_and_cached(self, tmp_path):
+        from latte_tpu.eval.detectors import standin_detector
+        from latte_tpu.eval.metrics import calc_metric
+
+        real, fake = self._make_dirs(tmp_path)
+        det = standin_detector()
+        cache = str(tmp_path / "cache")
+        common = dict(
+            real_path=real, fake_path=fake, detector=det,
+            max_real=4, max_fake=4, cache_dir=cache, seed=0,
+            report_dir=str(tmp_path / "report"),
+        )
+        vals = {}
+        for name in (
+            "fvd2048_16f", "fid50k_full", "kid50k_full", "is50k", "isv2048_ucf"
+        ):
+            opts = dict(common)
+            if name.startswith("is"):
+                # IS averages over 10 splits: needs >= 10 fake items
+                opts["max_fake"] = 40
+            res = calc_metric(name, num_frames=16, **opts)["results"]
+            for k, v in res.items():
+                assert np.isfinite(v), (name, res)
+                vals[k] = v
+        assert vals["fvd2048_16f"] > 0
+        assert vals["is50k_mean"] >= 1.0  # IS on probabilities is >= 1
+        # cache replay: bit-identical FVD from the stats pickle
+        res2 = calc_metric("fvd2048_16f", num_frames=16, **common)["results"]
+        assert res2["fvd2048_16f"] == vals["fvd2048_16f"]
+        # JSONL report written (reference metric_main.py:81-91 semantics)
+        report = os.path.join(str(tmp_path / "report"), "metric-fvd2048_16f.jsonl")
+        assert len(open(report).readlines()) == 2
+
+    def test_fvd_identical_protocol_is_zero(self, tmp_path):
+        from latte_tpu.eval.detectors import i3d_features, standin_detector
+        from latte_tpu.eval.metrics import _video_stats
+
+        real, _ = self._make_dirs(tmp_path)
+        det = standin_detector()
+        kw = dict(num_frames=16, max_items=4, subsample_factor=1, seed=0)
+        s1 = _video_stats(real, det, i3d_features, **kw)
+        s2 = _video_stats(real, det, i3d_features, **kw)
+        fd = frechet_distance(*s1.get_mean_cov(), *s2.get_mean_cov())
+        assert fd < 1e-6, fd
+
+    def test_standin_detector_semantics(self):
+        from latte_tpu.eval.detectors import standin_detector
+
+        det = standin_detector()
+        vid = np.random.default_rng(0).integers(
+            0, 255, size=(2, 3, 16, 32, 32)
+        ).astype(np.float32)
+        feats = det(vid, return_features=True)
+        assert feats.shape == (2, 400) and np.abs(feats).max() <= 1.0
+        # deterministic across constructions
+        feats2 = standin_detector()(vid, return_features=True)
+        np.testing.assert_array_equal(feats, feats2)
+        # probability semantics for IS/C3D-style calls
+        probs = det(vid, no_output_bias=True)
+        np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-5)
+        assert (probs >= 0).all()
+        bare = det(vid)
+        np.testing.assert_allclose(bare.sum(axis=1), 1.0, rtol=1e-5)
+        # content-sensitive: temporally-reversed video gives other features
+        rev = det(vid[:, :, ::-1], return_features=True)
+        assert not np.allclose(feats, rev)
+
+    def test_get_detector_dispatch(self):
+        from latte_tpu.eval.detectors import get_detector, standin_detector
+
+        d = get_detector("standin:7", "i3d")
+        x = np.ones((1, 3, 8, 8, 8), np.float32) * 128
+        np.testing.assert_array_equal(
+            d(x, return_features=True),
+            standin_detector(seed=7)(x, return_features=True),
+        )
+        with pytest.raises(FileNotFoundError):
+            get_detector("auto", "i3d")  # no LATTE_TPU_DETECTORS set
