@@ -245,8 +245,49 @@ def main() -> None:
             extra["videos_per_min_int8_serving"] = round(
                 BATCH * 60.0 / q_elapsed, 3
             )
+
         except Exception as e:
             extra["int8_error"] = repr(e)[:120]
+
+        try:
+            # --- int8 end-task quality guard: identical x_T through the
+            # bf16 and int8 DDIM-50 chains with SHARED random weights (the
+            # timing runs above use zero weights — value-independent for
+            # speed, useless for quality). The compiled samplers are reused
+            # (same shapes/dtypes), so this costs ~2 extra chains.
+            from latte_tpu.quant import quantize_params
+
+            leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+            @jax.jit
+            def init_rand():
+                ks = jax.random.split(jax.random.PRNGKey(7), len(leaves))
+                return jax.tree_util.tree_unflatten(
+                    treedef,
+                    [
+                        jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02
+                        for k, s in zip(ks, leaves)
+                    ],
+                )
+
+            rparams = init_rand()
+            rqparams = {"params": quantize_params(rparams["params"])}
+            zq0 = jax.random.normal(jax.random.PRNGKey(11), x_shape, jnp.float32)
+            lat_bf16 = np.asarray(sample_scan(rparams, zq0), np.float64)
+            lat_int8 = np.asarray(q_scan(rqparams, zq0), np.float64)
+            if np.isfinite(lat_bf16).all() and np.isfinite(lat_int8).all():
+                cos = float(
+                    (lat_bf16 * lat_int8).sum()
+                    / (np.linalg.norm(lat_bf16) * np.linalg.norm(lat_int8) + 1e-12)
+                )
+                rel = float(
+                    np.linalg.norm(lat_int8 - lat_bf16)
+                    / (np.linalg.norm(lat_bf16) + 1e-12)
+                )
+                extra["int8_ddim50_latent_cos_vs_bf16"] = round(cos, 4)
+                extra["int8_ddim50_latent_rel_err"] = round(rel, 4)
+        except Exception as e:
+            extra["int8_quality_error"] = repr(e)[:120]
 
         # --- decode-inclusive throughput: SD AutoencoderKL decode of the 16
         # latent frames (weights random — conv cost is value-independent)

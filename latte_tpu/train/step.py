@@ -57,8 +57,13 @@ def make_train_step(
         rng = jax.random.fold_in(rng, state.step)
         rng_t, rng_noise, rng_drop, rng_vae = jax.random.split(rng, 4)
         if encode_fn is not None:
+            video = batch["video"]
+            if video.dtype == jnp.uint8:
+                # uint8 transport: dequantize on device (inverse of
+                # data.loader.quantize_video_u8) — 4x less H2D traffic
+                video = video.astype(jnp.float32) / 127.5 - 1.0
             latents = jax.lax.stop_gradient(
-                encode_fn(batch["video"], rng_vae, encode_params)
+                encode_fn(video, rng_vae, encode_params)
             )
         else:
             latents = batch["latents"]

@@ -104,10 +104,34 @@ def make_batch_iterator(config, logger, global_batch: int):
             seed=int(getattr(config, "global_seed", 0)),
             shard_id=jax.process_index(),
             num_shards=jax.process_count(),
+            pixel_uint8=str(getattr(config, "pixel_transport", "uint8"))
+            == "uint8",
         )
-        return iter(loader), True
-    logger.info("data_path missing — using synthetic latent batches")
+        return iter(loader), "real"
     rng = np.random.default_rng(int(getattr(config, "global_seed", 0)))
+    if str(getattr(config, "synthetic_kind", "latents")) == "pixels":
+        # pixel-control stream: identical compute AND transfer volume to the
+        # real-data path (uint8 video through the fused VAE encode), minus
+        # the host decode/transform — isolates input-pipeline overhead
+        logger.info("data_path missing — using synthetic uint8 PIXEL batches")
+        size = int(config.image_size)
+
+        def synthetic_pixels():
+            extras = int(getattr(config, "extras", 1))
+            while True:
+                batch = {
+                    "video": rng.integers(
+                        0, 256, size=(global_batch, frames, 3, size, size),
+                        dtype=np.uint8,
+                    )
+                }
+                if extras == 2:
+                    nc = int(getattr(config, "num_classes", 1) or 1)
+                    batch["y"] = rng.integers(0, nc, size=(global_batch,), dtype=np.int32)
+                yield batch
+
+        return synthetic_pixels(), "synthetic_pixels"
+    logger.info("data_path missing — using synthetic latent batches")
 
     def synthetic():
         extras = int(getattr(config, "extras", 1))
@@ -130,12 +154,23 @@ def make_batch_iterator(config, logger, global_batch: int):
                 )
             yield batch
 
-    return synthetic(), False
+    return synthetic(), "synthetic_latents"
 
 
 def main(config: Config, callbacks=None) -> dict:
     from latte_tpu.train.callbacks import CallbackList
     from latte_tpu.dist.mesh import barrier, initialize_distributed
+
+    # persistent XLA compile cache (same knob as bench.py): XL-size init +
+    # train-step compiles cost minutes through a remote relay on a cold
+    # start, seconds when replayed from the cache
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/latte_tpu_jax_cache"),
+        )
+    except Exception:
+        pass
 
     # multi-host rendezvous BEFORE any backend use (no-op single-process;
     # replaces the reference's setup_distributed NCCL/SLURM init)
@@ -355,11 +390,12 @@ def main(config: Config, callbacks=None) -> dict:
     # each process loads only its rows; shard_batch assembles the global
     # array from per-process shards on multi-host setups
     host_batch = global_batch // jax.process_count()
-    batches, real_data = make_batch_iterator(config, logger, host_batch)
-    built = build_encode_fn(config) if real_data else None
-    if not real_data and getattr(config, "vae_ckpt", None):
-        # synthetic batches ARE latents — fusing a VAE encode would make
-        # the step read batch["video"], which the synthetic stream never
+    batches, data_kind = make_batch_iterator(config, logger, host_batch)
+    needs_encode = data_kind in ("real", "synthetic_pixels")
+    built = build_encode_fn(config) if needs_encode else None
+    if not needs_encode and getattr(config, "vae_ckpt", None):
+        # synthetic-latent batches ARE latents — fusing a VAE encode would
+        # make the step read batch["video"], which that stream never
         # produces (it would KeyError at the first jitted step)
         logger.info("synthetic batches: VAE encode skipped (latents direct)")
     encode_fn, encode_params = built if built is not None else (None, None)
@@ -397,7 +433,7 @@ def main(config: Config, callbacks=None) -> dict:
     )
     loss_aware = isinstance(schedule_sampler, LossAwareSampler)
 
-    if encode_fn is None and real_data:
+    if encode_fn is None and needs_encode:
         raise ValueError(
             "dataset videos are raw pixels but no VAE is configured: set "
             "vae_ckpt to converted SD-VAE params (tools/convert_vae.py), or "

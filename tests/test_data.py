@@ -171,3 +171,48 @@ class TestGetDatasetTransformWiring:
         item = get_dataset(args)[0]
         assert item["video"].shape == (4, 3, 8, 8)
         assert item["video"].min() >= -1.0 and item["video"].max() <= 1.0
+
+
+class TestUint8Transport:
+    """uint8 pixel transport (data/loader.py quantize_video_u8): 4x less
+    host->device traffic, dequantized on device in the fused train step."""
+
+    def test_roundtrip_lossless_on_uint8_grid(self):
+        from latte_tpu.data.loader import quantize_video_u8
+
+        # source pixels v -> v/127.5 - 1 (to_tensor+normalize of uint8)
+        v = np.arange(256, dtype=np.uint8).reshape(1, 16, 16, 1)
+        v = np.broadcast_to(v, (4, 16, 16, 4)).copy()
+        norm = v.astype(np.float32) / 127.5 - 1.0
+        assert np.array_equal(quantize_video_u8(norm), v)
+
+    def test_roundtrip_error_bound_arbitrary(self):
+        from latte_tpu.data.loader import quantize_video_u8
+
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-1, 1, size=(2, 3, 32, 32)).astype(np.float32)
+        q = quantize_video_u8(x)
+        back = q.astype(np.float32) / 127.5 - 1.0
+        assert np.abs(back - x).max() <= 0.5 / 127.5 + 1e-6
+
+    def test_loader_ships_uint8(self, tmp_path):
+        import types
+
+        from latte_tpu.data import DataLoader, get_dataset
+        from latte_tpu.utils import save_video
+
+        d = tmp_path / "vids"
+        d.mkdir()
+        v = (np.random.default_rng(0).random((12, 16, 24, 3)) * 255).astype(np.uint8)
+        save_video(str(d / "a.mp4"), v, fps=8)
+        args = types.SimpleNamespace(
+            dataset="ffs", data_path=str(d), num_frames=4,
+            frame_interval=1, image_size=8,
+        )
+        loader = DataLoader(get_dataset(args), batch_size=1, num_workers=1,
+                            pixel_uint8=True)
+        it = iter(loader)
+        batch = next(it)
+        loader.close()
+        assert batch["video"].dtype == np.uint8
+        assert batch["video"].shape == (1, 4, 3, 8, 8)

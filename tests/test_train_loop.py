@@ -159,3 +159,58 @@ class TestZero1Training:
         )
         out = main(cfg)
         assert np.isfinite(out["loss"])
+
+
+class TestPixelPath:
+    """Real-pixel input paths: fused VAE encode, uint8 transport, and the
+    synthetic-pixel control stream used for input-pipeline benchmarking."""
+
+    def test_synthetic_pixel_control_loop(self, tmp_path):
+        from latte_tpu.train.train import main
+
+        out = main(
+            tiny_train_cfg(
+                tmp_path, synthetic_kind="pixels", vae_ckpt="random",
+                max_train_steps=2, log_every=1, ckpt_every=100,
+            )
+        )
+        assert out["final_step"] == 2
+        assert np.isfinite(out["loss"])
+
+    def test_uint8_transport_matches_float32(self, tmp_path):
+        """Same seed + single worker: the uint8-transported run must track
+        the float32 run to quantization tolerance (ffs stack resizes, so
+        not bit-exact; see data/loader.quantize_video_u8)."""
+        from latte_tpu.train.train import main
+        from latte_tpu.utils import save_video
+
+        d = tmp_path / "vids"
+        d.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(3):
+            save_video(
+                str(d / f"c{i}.mp4"),
+                (rng.random((12, 72, 96, 3)) * 255).astype(np.uint8),
+                fps=8,
+            )
+        losses = {}
+        for transport in ("uint8", "float32"):
+            out = main(
+                tiny_train_cfg(
+                    tmp_path,
+                    data_path=str(d),
+                    vae_ckpt="random",
+                    pixel_transport=transport,
+                    num_workers=1,
+                    frame_interval=1,
+                    max_train_steps=2,
+                    log_every=1,
+                    ckpt_every=100,
+                    results_dir=str(tmp_path / f"res_{transport}"),
+                )
+            )
+            losses[transport] = out["loss"]
+        assert np.isfinite(losses["uint8"]) and np.isfinite(losses["float32"])
+        assert abs(losses["uint8"] - losses["float32"]) < 0.05 * (
+            abs(losses["float32"]) + 1e-3
+        )
