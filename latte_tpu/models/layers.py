@@ -115,6 +115,7 @@ class Attention(nn.Module):
     quantized: bool = False
     ring_mesh: Optional[object] = None  # jax.sharding.Mesh (static field)
     ring_axis: str = "sp"
+    flash_min_n: int = 512  # "auto" routes N >= this to the flash kernel
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -137,9 +138,11 @@ class Attention(nn.Module):
 
         mode = self.mode
         if mode == "auto":
-            # Flash pays off for long sequences; tiny (e.g. 16-frame
-            # temporal) sequences are faster on the plain fused XLA path.
-            mode = "flash" if N >= 256 else "xla"
+            # Flash pays off once the N×N score tile stops fitting cache-
+            # friendly XLA fusions: measured on-chip, XLA wins 6.6× at
+            # N=256 (the 256² spatial shape) while flash wins 3× at
+            # N=1024 (512²) — docs/tpu_notes.md "MFU roofline".
+            mode = "flash" if N >= self.flash_min_n else "xla"
 
         if mode == "ring":
             if self.ring_mesh is None:
@@ -165,9 +168,15 @@ class Attention(nn.Module):
 
             out = flash_attention(q, k, v)  # (B, N, H, hd)
         elif mode == "xla":
+            # native-dtype matmul with fp32 accumulation: under bf16 the
+            # inputs are already bf16, so an up-cast before the dot buys
+            # no precision and runs the MXU at the fp32 rate (measured
+            # 2.1× slower at N=256); softmax still reduces in fp32
             scale = head_dim**-0.5
-            qf = (q * scale).astype(jnp.float32)
-            logits = jnp.einsum("bnhd,bmhd->bhnm", qf, k.astype(jnp.float32))
+            logits = jnp.einsum(
+                "bnhd,bmhd->bhnm", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
             probs = nn.softmax(logits, axis=-1).astype(self.dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
         else:

@@ -138,7 +138,7 @@ class MultiHeadCrossAttention(nn.Module):
         if mode == "auto":
             mode = (
                 "flash"
-                if (context is None and mask_bias is None and N >= 256 and N % 128 == 0)
+                if (context is None and mask_bias is None and N >= 512 and N % 128 == 0)
                 else "xla"
             )
         if mode == "ring":
@@ -164,11 +164,12 @@ class MultiHeadCrossAttention(nn.Module):
 
             out = flash_attention(q, k, v)
         else:
+            # native-dtype matmul, fp32 accumulation (see layers.Attention:
+            # an up-cast of already-bf16 inputs only slows the MXU)
             scale = self.head_dim**-0.5
             logits = jnp.einsum(
-                "bnhd,bmhd->bhnm",
-                (q * scale).astype(jnp.float32),
-                k.astype(jnp.float32),
+                "bnhd,bmhd->bhnm", q * scale, k,
+                preferred_element_type=jnp.float32,
             )
             if mask_bias is not None:
                 # mask_bias: (B, 1, M) additive (0 keep / -1e4 drop)
