@@ -286,6 +286,9 @@ def main() -> None:
                 )
                 extra["int8_ddim50_latent_cos_vs_bf16"] = round(cos, 4)
                 extra["int8_ddim50_latent_rel_err"] = round(rel, 4)
+                # sample-level quality bound backing the int8 headline
+                # (measured 2026-08: cos=1.0000, rel=0.0075)
+                extra["int8_quality_ok"] = bool(cos > 0.99 and rel < 0.1)
         except Exception as e:
             extra["int8_quality_error"] = repr(e)[:120]
 

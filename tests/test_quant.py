@@ -140,3 +140,71 @@ class TestQuantizedModel:
         a, b = np.asarray(out_q, np.float64), np.asarray(out_fp, np.float64)
         rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
         assert rel < 0.08, rel
+
+
+class TestEndTaskQuality:
+    def test_ddim_chain_latent_parity(self):
+        """End-task guard at test scale: identical x_T through the bf16 and
+        int8 DDIM-8 chains must agree at the LATENT level, not just one
+        forward. The XL-scale DDIM-50 version of this check runs on the
+        real chip inside bench.py (`int8_ddim50_latent_cos_vs_bf16`;
+        measured cos=1.0000, rel=0.0075)."""
+        from latte_tpu.core.diffusion import create_diffusion
+        from latte_tpu.models.dit import Latte
+
+        kw = dict(
+            input_size=8,
+            num_frames=2,
+            extras=1,
+            learn_sigma=True,
+            attention_mode="xla",
+            hidden_size=64,
+            depth=2,
+            num_heads=4,
+            patch_size=2,
+        )
+        fp = Latte(**kw)
+        q = Latte(**kw, quantized=True)
+        x_shape = (1, 2, 4, 8, 8)
+        params = fp.init(
+            {"params": jax.random.PRNGKey(1)},
+            jnp.zeros(x_shape),
+            jnp.zeros((1,), jnp.int32),
+        )["params"]
+        # un-zero the output head so trajectories are nontrivial
+        for path, key in (
+            (("final_layer", "linear"), 10),
+            (("final_layer", "adaLN_modulation"), 11),
+        ):
+            node = params
+            for p in path:
+                node = node[p]
+            node["kernel"] = (
+                jax.random.normal(jax.random.PRNGKey(key), node["kernel"].shape)
+                * 0.02
+            )
+        qparams = quantize_params(params)
+
+        diffusion = create_diffusion("ddim8")
+
+        def sample(model, p):
+            z = jax.random.normal(jax.random.PRNGKey(5), x_shape)
+            for t_scalar in range(diffusion.num_timesteps - 1, -1, -1):
+                t = jnp.full((1,), t_scalar, jnp.int32)
+                z = diffusion.ddim_sample(
+                    lambda xx, tt: model.apply({"params": p}, xx, tt),
+                    z,
+                    t,
+                    jnp.zeros_like(z),
+                )["sample"]
+            return np.asarray(z, np.float64)
+
+        lat_fp = sample(fp, params)
+        lat_q = sample(q, qparams)
+        assert np.isfinite(lat_q).all()
+        cos = (lat_fp * lat_q).sum() / (
+            np.linalg.norm(lat_fp) * np.linalg.norm(lat_q) + 1e-12
+        )
+        rel = np.linalg.norm(lat_q - lat_fp) / (np.linalg.norm(lat_fp) + 1e-12)
+        assert cos > 0.99, cos
+        assert rel < 0.1, rel
