@@ -49,6 +49,36 @@ def load_torchscript_detector(name: str, path: Optional[str] = None) -> Callable
     return run
 
 
+def load_detector(name: str, path: Optional[str] = None) -> Callable:
+    """Load a detector honoring ``LATTE_TPU_DETECTOR_BACKEND``.
+
+    ``torch`` (default): the torchscript graph on torch-CPU — exact
+    protocol parity. ``flax``: weights converted out of the same
+    torchscript file into the native Flax re-implementation, features
+    extracted on-device under jit (the 2×2048-clip FVD protocol is hours
+    on torch-CPU, minutes on one chip). Currently i3d only; other
+    detectors fall back to torch.
+    """
+    backend = os.environ.get("LATTE_TPU_DETECTOR_BACKEND", "torch")
+    if backend == "flax" and name == "i3d":
+        import torch
+
+        from latte_tpu.eval.i3d import convert_i3d_state_dict, i3d_flax_detector
+
+        if path is None:
+            d = detectors_dir()
+            if d is None:
+                raise FileNotFoundError(
+                    "flax detector backend still needs the torchscript "
+                    f"weights: set LATTE_TPU_DETECTORS to a directory with "
+                    f"{DETECTOR_FILES[name]}"
+                )
+            path = os.path.join(d, DETECTOR_FILES[name])
+        sd = torch.jit.load(path).state_dict()
+        return i3d_flax_detector(convert_i3d_state_dict(sd))
+    return load_torchscript_detector(name, path)
+
+
 def i3d_features(detector: Callable, videos: np.ndarray) -> np.ndarray:
     """(B, F, H, W, 3) uint8 -> I3D logits/features (B, 400).
 

@@ -23,6 +23,7 @@ from latte_tpu.eval.detectors import (
     i3d_features,
     inception_features,
     inception_probs,
+    load_detector,
     load_torchscript_detector,
 )
 from latte_tpu.eval.feature_stats import FeatureStats, cache_path
@@ -186,7 +187,7 @@ def _fake_video_stats(opts, detector, feature_fn, num_frames, capture_all=False)
 
 
 def _fvd(opts, num_frames: int, real_subsample: int) -> float:
-    detector = opts.get("detector") or load_torchscript_detector("i3d")
+    detector = opts.get("detector") or load_detector("i3d")
     real = _video_stats(
         opts["real_path"], detector, i3d_features, num_frames,
         max_items=opts.get("max_real", 2048), subsample_factor=real_subsample,
@@ -212,7 +213,7 @@ def fvd2048_128f(opts) -> Dict[str, float]:
 @register_metric
 def fvd2048_128f_subsample8f(opts) -> Dict[str, float]:
     """16 frames strided by 8 out of 128-frame windows."""
-    detector = opts.get("detector") or load_torchscript_detector("i3d")
+    detector = opts.get("detector") or load_detector("i3d")
     real = _video_stats(
         opts["real_path"], detector, i3d_features, 16,
         max_items=opts.get("max_real", 2048), subsample_factor=8,
