@@ -60,10 +60,8 @@ def load_detector(name: str, path: Optional[str] = None) -> Callable:
     detectors fall back to torch.
     """
     backend = os.environ.get("LATTE_TPU_DETECTOR_BACKEND", "torch")
-    if backend == "flax" and name == "i3d":
+    if backend == "flax" and name in ("i3d", "inception"):
         import torch
-
-        from latte_tpu.eval.i3d import convert_i3d_state_dict, i3d_flax_detector
 
         if path is None:
             d = detectors_dir()
@@ -75,7 +73,16 @@ def load_detector(name: str, path: Optional[str] = None) -> Callable:
                 )
             path = os.path.join(d, DETECTOR_FILES[name])
         sd = torch.jit.load(path).state_dict()
-        return i3d_flax_detector(convert_i3d_state_dict(sd))
+        if name == "i3d":
+            from latte_tpu.eval.i3d import convert_i3d_state_dict, i3d_flax_detector
+
+            return i3d_flax_detector(convert_i3d_state_dict(sd))
+        from latte_tpu.eval.inception import (
+            convert_inception_state_dict,
+            inception_flax_detector,
+        )
+
+        return inception_flax_detector(convert_inception_state_dict(sd))
     return load_torchscript_detector(name, path)
 
 

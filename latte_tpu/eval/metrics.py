@@ -258,7 +258,7 @@ def _fake_frame_stats(
 
 @register_metric
 def fid50k_full(opts) -> Dict[str, float]:
-    detector = opts.get("detector") or load_torchscript_detector("inception")
+    detector = opts.get("detector") or load_detector("inception")
     real = _frame_stats(
         opts["real_path"], detector, max_items=opts.get("max_real", 50000),
         cache_dir=opts.get("cache_dir"),
@@ -271,7 +271,7 @@ def fid50k_full(opts) -> Dict[str, float]:
 
 @register_metric
 def kid50k_full(opts) -> Dict[str, float]:
-    detector = opts.get("detector") or load_torchscript_detector("inception")
+    detector = opts.get("detector") or load_detector("inception")
     real = _frame_stats(
         opts["real_path"], detector, max_items=opts.get("max_real", 50000),
         capture_all=True, cache_dir=opts.get("cache_dir"),
@@ -287,7 +287,7 @@ def is50k(opts) -> Dict[str, float]:
     # IS runs on class PROBABILITIES (detector called with
     # no_output_bias=True, reference `inception_score.py:21`), not the
     # pool3 features FID/KID use.
-    detector = opts.get("detector") or load_torchscript_detector("inception")
+    detector = opts.get("detector") or load_detector("inception")
     fake = _fake_frame_stats(
         opts, detector, max_items=opts.get("max_fake", 50000), capture_all=True,
         feature_fn=inception_probs,
