@@ -1,0 +1,261 @@
+"""Pipeline parallelism: the DiT block stack sharded by DEPTH over a mesh axis.
+
+The reference scales only by data parallelism (DDP,
+`/root/reference/train.py:125`); tp/sp/ZeRO in this repo shard width,
+tokens, and state. Pipeline parallelism is the remaining axis: each device
+along ``pp`` holds ``depth / pp`` of the (spatial, temporal) block pairs —
+the model's parameters no longer need to fit on one chip at all — and
+microbatches stream through the stages GPipe-style.
+
+TPU-native shape of the idea:
+
+- The scanned pair stack already stores parameters STACKED on a leading
+  ``n_pairs`` axis (`models/dit.py` ``PairScan``). Pipeline sharding is
+  just `PartitionSpec("pp")` on that axis — checkpoints, converters, and
+  the single-chip layout are untouched.
+- One SPMD program under `shard_map`: every stage runs the same
+  ``M + S - 1`` tick loop; activations hop stage→stage via
+  `lax.ppermute` over ICI. No per-stage programs, no host scheduling —
+  XLA overlaps the permute with the next tick's compute.
+- Built from differentiable primitives (scan/ppermute/where), so
+  `jax.grad` through the schedule is the pipelined backward for free.
+
+The GPipe bubble is the usual (S-1)/(M+S-1) idle fraction — under SPMD the
+idle stages compute garbage ticks instead of idling, which costs the same
+wall-clock and keeps the program shape static.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+__all__ = ["gpipe", "pipelined_latte_forward"]
+
+
+def gpipe(
+    stage_fn: Callable,
+    stacked_params,
+    x_mbs,
+    mesh: Mesh,
+    axis: str = "pp",
+):
+    """Run ``stage_fn`` over pipeline stages with microbatched inputs.
+
+    Args:
+      stage_fn: ``(params_local, x, unit_offset) -> x`` — applies this
+        stage's chunk of units to one microbatch. ``params_local`` is the
+        stacked-params pytree sliced to ``n_units // S`` on the leading
+        axis; ``unit_offset`` is the absolute index of its first unit
+        (device-varying int32).
+      stacked_params: pytree, every leaf with leading dim ``n_units``
+        (divisible by the axis size).
+      x_mbs: pytree of microbatched inputs, every leaf ``(M, ...)``; the
+        whole pytree is the per-microbatch activation carried stage to
+        stage (constants that must follow a microbatch ride in here).
+      mesh / axis: the pipeline axis.
+
+    Returns the output pytree, every leaf ``(M, ...)``, replicated.
+    """
+    S = mesh.shape[axis]
+    leaves = jax.tree_util.tree_leaves(stacked_params)
+    n_units = leaves[0].shape[0]
+    assert n_units % S == 0, f"{n_units} units not divisible by pp={S}"
+    L = n_units // S
+    M = jax.tree_util.tree_leaves(x_mbs)[0].shape[0]
+
+    def run(params_local, x_all):
+        s = jax.lax.axis_index(axis)
+        is_first_stage = s == 0
+        is_last_stage = s == S - 1
+        unit_offset = s * L
+
+        def pick_mb(m):
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, jnp.clip(m, 0, M - 1), 0, keepdims=False
+                ),
+                x_all,
+            )
+
+        def write_mb(buf, m, val):
+            upd = jax.tree_util.tree_map(
+                lambda b, v: jax.lax.dynamic_update_index_in_dim(
+                    b, v, jnp.clip(m, 0, M - 1), 0
+                ),
+                buf,
+                val,
+            )
+            write = jnp.logical_and(is_last_stage, m >= 0)
+            return jax.tree_util.tree_map(
+                lambda b, u: jnp.where(write, u, b), buf, upd
+            )
+
+        perm = [(j, (j + 1) % S) for j in range(S)]
+        # the scan carry becomes device-varying inside the body (stage
+        # predicates, ppermute) — mark the initial carry varying so the
+        # carry type is fixed across iterations
+        vary = lambda tree: jax.tree_util.tree_map(
+            lambda a: jax.lax.pcast(a, axis, to="varying"), tree
+        )
+        out0 = vary(jax.tree_util.tree_map(jnp.zeros_like, x_all))
+        x0 = vary(pick_mb(jnp.int32(0)))
+
+        def tick(carry, t):
+            x_cur, out = carry
+            # stage 0 ingests microbatch t; later stages use what arrived
+            # over the ring at the end of the previous tick
+            x_in = pick_mb(t)
+            x_cur = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(is_first_stage, a, b), x_in, x_cur
+            )
+            y = stage_fn(params_local, x_cur, unit_offset)
+            out = write_mb(out, t - (S - 1), y)
+            y = jax.tree_util.tree_map(
+                lambda a: jax.lax.ppermute(a, axis, perm), y
+            )
+            return (y, out), None
+
+        (_, out), _ = jax.lax.scan(
+            tick, (x0, out0), jnp.arange(M + S - 1, dtype=jnp.int32)
+        )
+        # only the last stage holds real outputs; mask-psum replicates them
+        # (costs one all-reduce of the output — small next to the blocks)
+        out = jax.tree_util.tree_map(
+            lambda a: jax.lax.psum(
+                jnp.where(is_last_stage, a, jnp.zeros_like(a)), axis
+            ),
+            out,
+        )
+        return out
+
+    pspec = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
+    xspec = jax.tree_util.tree_map(lambda _: P(), x_mbs)
+    fn = jax.shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(pspec, xspec),
+        out_specs=xspec,
+    )
+    return fn(stacked_params, x_mbs)
+
+
+def pipelined_latte_forward(
+    model,
+    variables,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    y: Optional[jnp.ndarray] = None,
+    *,
+    mesh: Mesh,
+    microbatches: int,
+    axis: str = "pp",
+) -> jnp.ndarray:
+    """Latte forward with the pair stack pipelined over ``axis``.
+
+    Orchestration mirrors `models/dit.py` ``Latte.__call__`` (embed →
+    pairs → final layer) — equality with ``model.apply`` is pinned by
+    `tests/test_pipeline.py`, so drift between the two is caught. The
+    microbatch axis is the sample batch ``B`` (temporal blocks mix frames
+    within a sample, so frames cannot be split): ``B % microbatches == 0``.
+
+    Non-block parameters (embedders, final layer) are tiny and stay
+    replicated; only the stacked pair weights shard over ``pp``.
+    """
+    from latte_tpu.models.dit import SpatioTemporalPair
+    from latte_tpu.models.embeddings import (
+        LabelEmbedder,
+        TimestepEmbedder,
+        get_1d_sincos_pos_embed,
+        get_2d_sincos_pos_embed,
+    )
+    from latte_tpu.models.layers import FinalLayer, PatchEmbed, unpatchify
+
+    params = variables["params"]
+    B, F, C, H, W = x.shape
+    in_dtype = x.dtype
+    p = model.patch_size
+    M = microbatches
+    assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
+    mb = B // M
+
+    tokens = PatchEmbed(
+        patch_size=p, hidden_size=model.hidden_size, dtype=model.dtype
+    ).apply({"params": params["x_embedder"]}, x.reshape(B * F, C, H, W))
+    T = tokens.shape[1]
+    pos = jnp.asarray(
+        get_2d_sincos_pos_embed(model.hidden_size, H // p), dtype=model.dtype
+    )[None]
+    temp_embed = jnp.asarray(
+        get_1d_sincos_pos_embed(model.hidden_size, F), dtype=model.dtype
+    )[None]
+    tokens = tokens + pos
+
+    t_emb = TimestepEmbedder(hidden_size=model.hidden_size, dtype=model.dtype).apply(
+        {"params": params["t_embedder"]}, t
+    )
+    c_spatial = jnp.repeat(t_emb, F, axis=0)
+    c_temp = jnp.repeat(t_emb, T, axis=0)
+    if model.extras == 2:
+        y_emb = LabelEmbedder(
+            num_classes=model.num_classes,
+            hidden_size=model.hidden_size,
+            dropout_prob=model.class_dropout_prob,
+            dtype=model.dtype,
+        ).apply({"params": params["y_embedder"]}, y, train=False)
+        c_spatial = c_spatial + jnp.repeat(y_emb, F, axis=0)
+        c_temp = c_temp + jnp.repeat(y_emb, T, axis=0)
+
+    pair = SpatioTemporalPair(
+        hidden_size=model.hidden_size,
+        num_heads=model.num_heads,
+        mlp_ratio=model.mlp_ratio,
+        attention_mode=model.attention_mode,
+        quantized=model.quantized,
+        dtype=model.dtype,
+    )
+
+    def stage_fn(params_local, xc, unit_offset):
+        xt, c_sp, c_tp = xc
+
+        def body(carry, sliced):
+            pair_params, local_i = sliced
+            is_first = ((unit_offset + local_i) == 0).astype(model.dtype)
+            out, _ = pair.apply(
+                {"params": pair_params},
+                carry,
+                (c_sp, c_tp, temp_embed),
+                is_first.reshape(1, 1, 1),
+            )
+            return out, None
+
+        L = jax.tree_util.tree_leaves(params_local)[0].shape[0]
+        xt, _ = jax.lax.scan(
+            body, xt, (params_local, jnp.arange(L, dtype=jnp.int32))
+        )
+        return (xt, c_sp, c_tp)
+
+    # microbatch over B: tokens (B·F, T, D) -> (M, mb·F, T, D); conds likewise
+    x_mbs = (
+        tokens.reshape(M, mb * F, T, model.hidden_size),
+        c_spatial.reshape(M, mb * F, model.hidden_size),
+        c_temp.reshape(M, mb * T, model.hidden_size),
+    )
+    out_mbs, _, _ = gpipe(stage_fn, params["blocks"], x_mbs, mesh, axis=axis)
+    tokens = out_mbs.reshape(B * F, T, model.hidden_size)
+
+    c_final = (
+        c_spatial if model.extras == 2 else jnp.repeat(t_emb, F, axis=0)
+    )
+    tokens = FinalLayer(
+        hidden_size=model.hidden_size,
+        patch_size=p,
+        out_channels=model.out_channels,
+        dtype=model.dtype,
+    ).apply({"params": params["final_layer"]}, tokens, c_final)
+    out = unpatchify(tokens, p, model.out_channels)
+    return out.reshape(B, F, model.out_channels, H, W).astype(in_dtype)
