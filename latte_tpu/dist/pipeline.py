@@ -29,12 +29,13 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Tuple
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["gpipe", "pipelined_latte_forward"]
+__all__ = ["gpipe", "pipelined_latte_forward", "make_pipelined_apply"]
 
 
 def gpipe(
@@ -135,13 +136,48 @@ def gpipe(
 
     pspec = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
     xspec = jax.tree_util.tree_map(lambda _: P(), x_mbs)
+    # manual only over the pipeline axis: other mesh axes (dp, ...) stay in
+    # auto mode, so gpipe composes with data parallelism under one jit
     fn = jax.shard_map(
         run,
         mesh=mesh,
         in_specs=(pspec, xspec),
         out_specs=xspec,
+        axis_names={axis},
     )
     return fn(stacked_params, x_mbs)
+
+
+def make_pipelined_apply(
+    model, mesh: Mesh, microbatches: int, axis: str = "pp"
+) -> Callable:
+    """``model.apply``-signature adapter over the pipelined forward.
+
+    Plugs into ``make_train_step(..., apply_fn=...)`` so the identical
+    loss/optimizer/EMA step runs with the block stack depth-sharded over
+    ``axis`` — training models whose parameters exceed one chip's HBM.
+    """
+
+    def apply_fn(variables, x, t, *, train=False, rngs=None, y=None, **kw):
+        if kw:
+            raise NotImplementedError(
+                f"pipelined apply supports Latte/LatteIMG conditioning only "
+                f"(got extra kwargs {sorted(kw)})"
+            )
+        return pipelined_latte_forward(
+            model,
+            variables,
+            x,
+            t,
+            y,
+            mesh=mesh,
+            microbatches=microbatches,
+            axis=axis,
+            train=train,
+            dropout_rng=(rngs or {}).get("label_dropout"),
+        )
+
+    return apply_fn
 
 
 def pipelined_latte_forward(
@@ -154,6 +190,8 @@ def pipelined_latte_forward(
     mesh: Mesh,
     microbatches: int,
     axis: str = "pp",
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Latte forward with the pair stack pipelined over ``axis``.
 
@@ -201,12 +239,27 @@ def pipelined_latte_forward(
     c_spatial = jnp.repeat(t_emb, F, axis=0)
     c_temp = jnp.repeat(t_emb, T, axis=0)
     if model.extras == 2:
-        y_emb = LabelEmbedder(
-            num_classes=model.num_classes,
-            hidden_size=model.hidden_size,
-            dropout_prob=model.class_dropout_prob,
-            dtype=model.dtype,
-        ).apply({"params": params["y_embedder"]}, y, train=False)
+
+        class _YShell(nn.Module):
+            # hosts the embedder at scope path ('y_embedder',) — the same
+            # path Latte declares, so make_rng('label_dropout') folds the
+            # rng identically and train-mode CFG dropout matches bit-exact
+            @nn.compact
+            def __call__(self, y, train):
+                return LabelEmbedder(
+                    num_classes=model.num_classes,
+                    hidden_size=model.hidden_size,
+                    dropout_prob=model.class_dropout_prob,
+                    dtype=model.dtype,
+                    name="y_embedder",
+                )(y, train)
+
+        y_emb = _YShell().apply(
+            {"params": {"y_embedder": params["y_embedder"]}},
+            y,
+            train,
+            rngs={"label_dropout": dropout_rng} if train else None,
+        )
         c_spatial = c_spatial + jnp.repeat(y_emb, F, axis=0)
         c_temp = c_temp + jnp.repeat(y_emb, T, axis=0)
 

@@ -40,6 +40,7 @@ def make_train_step(
     extras: int = 1,
     encode_fn: Optional[Callable] = None,
     fixed_spatial: bool = False,
+    apply_fn: Optional[Callable] = None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict]]:
     """Build the jittable train step.
 
@@ -51,7 +52,14 @@ def make_train_step(
     `train.py:206-211`); the frozen VAE params flow in as the
     ``encode_params`` argument — closing over them would bake the weight
     tree into the compiled HLO.
+
+    ``apply_fn`` overrides ``model.apply`` with the same call signature
+    (variables, x, t, train=..., rngs=..., **kw) — the hook that lets the
+    pipeline-parallel forward (`dist/pipeline.py`) drive the identical
+    loss/optimizer/EMA step.
     """
+    if apply_fn is None:
+        apply_fn = model.apply
 
     def train_step(state: TrainState, batch, rng: jax.Array, encode_params=None):
         rng = jax.random.fold_in(rng, state.step)
@@ -88,7 +96,7 @@ def make_train_step(
 
         def loss_fn(params):
             def model_fn(x, tt, **kw):
-                return model.apply(
+                return apply_fn(
                     {"params": params},
                     x,
                     tt,

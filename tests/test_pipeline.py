@@ -4,9 +4,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from latte_tpu.dist.pipeline import gpipe, pipelined_latte_forward
+from latte_tpu.dist.pipeline import (
+    gpipe,
+    make_pipelined_apply,
+    pipelined_latte_forward,
+)
 from latte_tpu.models.dit import Latte
 
 
@@ -153,6 +157,22 @@ class TestPipelinedLatte:
                 err_msg=jax.tree_util.keystr(path),
             )
 
+    def test_train_mode_label_dropout_matches(self):
+        # train-mode CFG label dropout goes through flax make_rng with the
+        # scope path folded in — the pipelined forward must reproduce the
+        # exact stream, not just "some dropout"
+        model, variables, x, t, y = self._model_and_inputs(extras=2)
+        mesh = _mesh(2)
+        rng = jax.random.PRNGKey(7)
+        ref = model.apply(
+            variables, x, t, y=y, train=True, rngs={"label_dropout": rng}
+        )
+        out = pipelined_latte_forward(
+            model, variables, x, t, y,
+            mesh=mesh, microbatches=2, train=True, dropout_rng=rng,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
     def test_depth_14_pairs_pp7(self):
         # the real XL shape's 14 pairs admit pp=7: exercise uneven-looking
         # (but divisible) stage counts beyond 2
@@ -165,3 +185,59 @@ class TestPipelinedLatte:
             )
         )(variables)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+class TestPipelinedTrainStep:
+    """Full train step (loss -> grad -> AdamW -> EMA) with the block stack
+    depth-sharded over pp, composed with dp in auto mode under one jit."""
+
+    def test_dp2_pp4_matches_plain_step(self):
+        from latte_tpu.core.diffusion import create_diffusion
+        from latte_tpu.train import create_train_state, make_train_step
+        from latte_tpu.train.state import make_optimizer
+
+        model = Latte(
+            input_size=8, patch_size=2, num_frames=4, extras=2,
+            learn_sigma=True, hidden_size=32, depth=8, num_heads=2,
+            attention_mode="xla", num_classes=10,
+        )
+        diffusion = create_diffusion("", diffusion_steps=100)
+        optimizer = make_optimizer(lr=1e-3, warmup_steps=0)
+        B = 4
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 8, 8))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "label_dropout": jax.random.PRNGKey(2)},
+            x, jnp.zeros((1,), jnp.int32), y=jnp.zeros((1,), jnp.int32),
+        )
+        batch = {
+            "latents": jax.random.normal(jax.random.PRNGKey(3), (B, 4, 4, 8, 8)),
+            "y": jnp.array([1, 2, 3, 4], jnp.int32),
+        }
+        rng = jax.random.PRNGKey(42)
+
+        state0 = create_train_state(variables["params"], optimizer)
+        step_ref = make_train_step(model, diffusion, optimizer, extras=2)
+        ref_state, ref_metrics = jax.jit(step_ref)(state0, batch, rng)
+
+        devices = np.array(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devices, ("dp", "pp"))
+        step_pp = make_train_step(
+            model, diffusion, optimizer, extras=2,
+            apply_fn=make_pipelined_apply(model, mesh, microbatches=2),
+        )
+        state1 = create_train_state(variables["params"], optimizer)
+        with mesh:
+            bshard = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, NamedSharding(mesh, P("dp"))), batch
+            )
+            pp_state, pp_metrics = jax.jit(step_pp)(state1, bshard, rng)
+
+        np.testing.assert_allclose(
+            float(pp_metrics["loss"]), float(ref_metrics["loss"]), atol=1e-5
+        )
+        flat_ref = dict(jax.tree_util.tree_leaves_with_path(ref_state.params))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(pp_state.params):
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat_ref[path]), atol=1e-5,
+                err_msg=jax.tree_util.keystr(path),
+            )
