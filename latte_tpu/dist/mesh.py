@@ -35,13 +35,16 @@ class MeshConfig:
     dp: int = -1  # -1: use all remaining devices
     tp: int = 1
     sp: int = 1  # sequence parallel (activation token axis)
+    pp: int = 1  # pipeline parallel (depth axis of the scanned pair stack)
 
     def resolve(self, n_devices: int) -> "MeshConfig":
-        dp = self.dp if self.dp != -1 else n_devices // (self.tp * self.sp)
-        assert dp * self.tp * self.sp == n_devices, (
-            f"mesh dp{dp}xsp{self.sp}xtp{self.tp} != {n_devices} devices"
+        denom = self.tp * self.sp * self.pp
+        dp = self.dp if self.dp != -1 else n_devices // denom
+        assert dp * denom == n_devices, (
+            f"mesh dp{dp}xsp{self.sp}xtp{self.tp}xpp{self.pp} != "
+            f"{n_devices} devices"
         )
-        return MeshConfig(dp=dp, tp=self.tp, sp=self.sp)
+        return MeshConfig(dp=dp, tp=self.tp, sp=self.sp, pp=self.pp)
 
 
 def make_mesh(
@@ -49,11 +52,20 @@ def make_mesh(
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     cfg = config.resolve(len(devices))
+    # dp outermost; sp/pp axes appear only when used so existing 2-axis
+    # specs keep working. pp innermost: GPipe stage hops (ppermute) ride
+    # nearest-neighbor ICI links.
+    dims, names = [cfg.dp], ["dp"]
     if cfg.sp > 1:
-        arr = np.asarray(devices).reshape(cfg.dp, cfg.sp, cfg.tp)
-        return Mesh(arr, axis_names=("dp", "sp", "tp"))
-    arr = np.asarray(devices).reshape(cfg.dp, cfg.tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+        dims.append(cfg.sp)
+        names.append("sp")
+    dims.append(cfg.tp)
+    names.append("tp")
+    if cfg.pp > 1:
+        dims.append(cfg.pp)
+        names.append("pp")
+    arr = np.asarray(devices).reshape(dims)
+    return Mesh(arr, axis_names=tuple(names))
 
 
 def shard_batch(mesh: Mesh, tree):

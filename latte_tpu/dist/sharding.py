@@ -125,6 +125,41 @@ def fsdp_opt_shardings(opt_state: Any, mesh: Mesh):
     return fsdp_param_shardings(opt_state, mesh)
 
 
+def pp_param_shardings(params: Any, mesh: Mesh, zero1: bool = False):
+    """Pipeline parallelism: the scanned pair stack shards by DEPTH.
+
+    The ``blocks`` subtree's leaves carry the stacked ``n_pairs`` leading
+    axis — `P("pp")` there matches gpipe's shard_map ``in_specs``
+    (`dist/pipeline.py`), so the pipelined step consumes the parameters
+    (and writes updates/EMA) with zero resharding. Everything outside the
+    pair stack (embedders, final layer) is tiny and replicates. The same
+    rule shards the Adam moments (optax's mu/nu mirror the param tree);
+    ``zero1`` additionally splits each moment's largest REMAINING axis
+    over ``dp`` — ZeRO-1 composed on top of the depth sharding, instead of
+    `zero1_opt_shardings`' dp-only rule whose axis choice would fight the
+    pp-sharded params every step.
+    """
+    pp = mesh.shape["pp"]
+    dp = mesh.shape["dp"]
+
+    def rule(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        shape = getattr(leaf, "shape", ())
+        spec = [None] * len(shape)
+        if "blocks" in keys and shape and shape[0] % pp == 0:
+            spec[0] = "pp"
+        if zero1 and dp > 1:
+            best, best_size = None, 0
+            for axis, size in enumerate(shape):
+                if spec[axis] is None and size % dp == 0 and size > best_size:
+                    best, best_size = axis, size
+            if best is not None and best_size >= dp:
+                spec[best] = "dp"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
 def zero1_opt_shardings(opt_state: Any, mesh: Mesh):
     """ZeRO-1: shard optimizer moments over the ``dp`` axis.
 

@@ -240,11 +240,32 @@ def main(config: Config, callbacks=None) -> dict:
     n_dev = jax.device_count()
     tp = int(getattr(config, "tensor_parallel", 1) or 1)
     sp = int(getattr(config, "sequence_parallel", 1) or 1)
-    assert n_dev % (tp * sp) == 0, (
-        f"tensor_parallel={tp} x sequence_parallel={sp} must divide {n_dev} devices"
+    pp = int(getattr(config, "pipeline_parallel", 1) or 1)
+    assert n_dev % (tp * sp * pp) == 0, (
+        f"tensor_parallel={tp} x sequence_parallel={sp} x "
+        f"pipeline_parallel={pp} must divide {n_dev} devices"
     )
-    dp = n_dev // (tp * sp)
-    mesh = make_mesh(MeshConfig(dp=dp, tp=tp, sp=sp))
+    if pp > 1:
+        # the pipelined forward shards the pair stack by depth; it covers
+        # the Latte/LatteIMG conditioning path and replaces the width/token
+        # sharding strategies rather than composing with them
+        if tp > 1 or sp > 1:
+            raise ValueError(
+                "pipeline_parallel composes with data parallelism only "
+                f"(got tensor_parallel={tp}, sequence_parallel={sp})"
+            )
+        if int(getattr(config, "use_image_num", 0) or 0):
+            raise ValueError(
+                "pipeline_parallel does not support use_image_num joint "
+                "batches yet"
+            )
+        if bool(getattr(config, "fsdp", False)):
+            raise ValueError(
+                "pipeline_parallel already shards the block stack; "
+                "disable fsdp (zero1 moment sharding is compatible)"
+            )
+    dp = n_dev // (tp * sp * pp)
+    mesh = make_mesh(MeshConfig(dp=dp, tp=tp, sp=sp, pp=pp))
     local_batch = int(getattr(config, "local_batch_size", 5))
     global_batch = local_batch * dp
 
@@ -281,6 +302,7 @@ def main(config: Config, callbacks=None) -> dict:
         fsdp_opt_shardings,
         fsdp_param_shardings,
         param_shardings,
+        pp_param_shardings,
         zero1_opt_shardings,
     )
     from latte_tpu.train.state import TrainState
@@ -288,12 +310,17 @@ def main(config: Config, callbacks=None) -> dict:
     rep = NamedSharding(mesh, P())
     if fsdp:
         p_shard = fsdp_param_shardings(state_shapes.params, mesh)
+    elif pp > 1:
+        p_shard = pp_param_shardings(state_shapes.params, mesh)
     elif tp > 1:
         p_shard = param_shardings(state_shapes.params, mesh)
     else:
         p_shard = jax.tree_util.tree_map(lambda _: rep, state_shapes.params)
     if fsdp:
         opt_shard = fsdp_opt_shardings(state_shapes.opt_state, mesh)
+    elif pp > 1:
+        # moments mirror the depth sharding; zero1 dp-splits the remainder
+        opt_shard = pp_param_shardings(state_shapes.opt_state, mesh, zero1=zero1)
     elif zero1:
         opt_shard = zero1_opt_shardings(state_shapes.opt_state, mesh)
     elif tp > 1:
@@ -403,6 +430,23 @@ def main(config: Config, callbacks=None) -> dict:
         # sequence-parallel activations; model.init above ran without the
         # sharding constraints (with_sharding_constraint needs a mesh context)
         model = model.clone(activation_sharding=("dp", "sp"))
+    apply_fn = None
+    if pp > 1:
+        from latte_tpu.dist.pipeline import make_pipelined_apply
+
+        # microbatches split the LOCAL dp-shard of the batch streaming
+        # through the pipeline stages; bubble fraction (S-1)/(M+S-1)
+        pp_microbatches = int(getattr(config, "pp_microbatches", 0) or 0) or max(
+            2, 2 * pp
+        )
+        assert global_batch % pp_microbatches == 0, (
+            f"global batch {global_batch} not divisible by "
+            f"pp_microbatches={pp_microbatches}"
+        )
+        apply_fn = make_pipelined_apply(model, mesh, microbatches=pp_microbatches)
+        logger.info(
+            f"pipeline parallelism: pp={pp} stages x {pp_microbatches} microbatches"
+        )
     train_step = make_train_step(
         model,
         diffusion,
@@ -413,6 +457,7 @@ def main(config: Config, callbacks=None) -> dict:
         extras=extras,
         encode_fn=encode_fn,
         fixed_spatial=fixed_spatial,
+        apply_fn=apply_fn,
     )
     jitted_step = jax.jit(train_step, donate_argnums=(0,))
     if encode_params is not None:

@@ -135,6 +135,14 @@ class TestMesh:
         mesh = make_mesh(MeshConfig(dp=-1, tp=2))
         assert mesh.devices.shape == (4, 2)
 
+    def test_pp_axis(self):
+        mesh = make_mesh(MeshConfig(dp=2, tp=2, pp=2))
+        assert mesh.devices.shape == (2, 2, 2)
+        assert mesh.axis_names == ("dp", "tp", "pp")
+        mesh = make_mesh(MeshConfig(dp=-1, pp=4))
+        assert mesh.axis_names == ("dp", "tp", "pp")
+        assert dict(mesh.shape) == {"dp": 2, "tp": 1, "pp": 4}
+
     def test_shard_batch_layout(self):
         mesh = make_mesh(MeshConfig(dp=8, tp=1))
         batch = {"latents": jnp.zeros((16, 2, 4, 8, 8))}
