@@ -35,7 +35,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-__all__ = ["gpipe", "pipelined_latte_forward", "make_pipelined_apply"]
+__all__ = [
+    "gpipe",
+    "pipelined_latte_forward",
+    "pipelined_t2v_forward",
+    "make_pipelined_apply",
+]
 
 
 def gpipe(
@@ -312,3 +317,178 @@ def pipelined_latte_forward(
     ).apply({"params": params["final_layer"]}, tokens, c_final)
     out = unpatchify(tokens, p, model.out_channels)
     return out.reshape(B, F, model.out_channels, H, W).astype(in_dtype)
+
+
+def pipelined_t2v_forward(
+    model,
+    variables,
+    hidden_states: jnp.ndarray,
+    timestep: jnp.ndarray,
+    encoder_hidden_states: jnp.ndarray,
+    encoder_attention_mask: Optional[jnp.ndarray] = None,
+    *,
+    mesh: Mesh,
+    microbatches: int,
+    axis: str = "pp",
+    use_image_num: int = 0,
+    train: bool = False,
+) -> jnp.ndarray:
+    """LatteT2V forward with the block stack pipelined over ``axis``.
+
+    The serving-side counterpart of :func:`pipelined_latte_forward`: a
+    text-to-video checkpoint whose transformer exceeds one chip's HBM runs
+    depth-sharded, each stage holding ``num_layers / pp`` scanned pairs.
+    Orchestration mirrors `models/t2v.py` ``LatteT2V.__call__`` (patchify →
+    adaLN-single + caption projection → pairs → scale-shift projection);
+    parity with ``model.apply`` is pinned by `tests/test_pipeline.py`.
+    Conditioning (per-frame modulation, caption context, mask bias) rides
+    the microbatch pytree stage-to-stage; the shared ``temp_pos_embed`` is
+    closed over (identical for every microbatch).
+    """
+    from latte_tpu.models.embeddings import (
+        get_1d_sincos_pos_embed,
+        get_2d_sincos_pos_embed,
+    )
+    from latte_tpu.models.layers import PatchEmbed
+    from latte_tpu.models.t2v import (
+        AdaLayerNormSingle,
+        CaptionProjection,
+        T2VPair,
+    )
+
+    params = variables["params"]
+    B, C, Ftot, H, W = hidden_states.shape
+    D = model.inner_dim
+    Fv = Ftot - use_image_num
+    p = model.patch_size
+    in_dtype = hidden_states.dtype
+    M = microbatches
+    assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
+    mb = B // M
+
+    x = hidden_states.transpose(0, 2, 1, 3, 4).reshape(B * Ftot, C, H, W)
+    x = PatchEmbed(patch_size=p, hidden_size=D, dtype=model.dtype).apply(
+        {"params": params["pos_embed"]}, x
+    )
+    T = x.shape[1]
+    pos = jnp.asarray(get_2d_sincos_pos_embed(D, H // p), dtype=model.dtype)[None]
+    x = x + pos
+    temp_pos_embed = jnp.asarray(
+        get_1d_sincos_pos_embed(D, Fv), dtype=model.dtype
+    )[None]
+
+    t_mod, embedded_t = AdaLayerNormSingle(dim=D, dtype=model.dtype).apply(
+        {"params": params["adaln_single"]}, timestep
+    )
+    t_spatial = jnp.repeat(t_mod, Ftot, axis=0)
+    t_temp = jnp.repeat(t_mod, T, axis=0)
+
+    ctx = CaptionProjection(hidden_size=D, dtype=model.dtype).apply(
+        {"params": params["caption_projection"]}, encoder_hidden_states
+    )
+    if use_image_num and train:
+        ctx_video = jnp.repeat(ctx[:, :1], Fv, axis=1)
+        ctx_sp = jnp.concatenate([ctx_video, ctx[:, 1:]], axis=1)
+        ctx_sp = ctx_sp.reshape(B * Ftot, *ctx_sp.shape[2:])
+    else:
+        ctx_sp = jnp.repeat(ctx, Ftot, axis=0)
+
+    ctx_bias = None
+    if encoder_attention_mask is not None:
+        if encoder_attention_mask.ndim == 2:
+            bias = (1.0 - encoder_attention_mask.astype(jnp.float32)) * -10000.0
+            ctx_bias = jnp.repeat(bias[:, None, :], Ftot, axis=0).reshape(
+                B * Ftot, 1, -1
+            )
+        else:
+            bias = (1.0 - encoder_attention_mask.astype(jnp.float32)) * -10000.0
+            bias_video = jnp.repeat(bias[:, :1], Fv, axis=1)
+            bias = jnp.concatenate([bias_video, bias[:, 1:]], axis=1)
+            ctx_bias = bias.reshape(B * Ftot, 1, -1)
+
+    pair = T2VPair(
+        dim=D,
+        num_heads=model.num_attention_heads,
+        head_dim=model.attention_head_dim,
+        num_video_frames=Fv,
+        enable_temporal_attentions=model.enable_temporal_attentions,
+        activation_fn=model.activation_fn,
+        attention_mode=model.attention_mode,
+        ff_chunk_size=model.feed_forward_chunk_size,
+        quantized=model.quantized,
+        dtype=model.dtype,
+    )
+
+    def stage_fn(params_local, xc, unit_offset):
+        xt, t_sp, t_tp, c_sp, c_bias = xc
+
+        def body(carry, sliced):
+            pair_params, local_i = sliced
+            is_first = ((unit_offset + local_i) == 0).astype(model.dtype)
+            out, _ = pair.apply(
+                {"params": pair_params},
+                carry,
+                (t_sp, t_tp, c_sp, c_bias, temp_pos_embed),
+                is_first.reshape(1, 1, 1),
+            )
+            return out, None
+
+        L = jax.tree_util.tree_leaves(params_local)[0].shape[0]
+        xt, _ = jax.lax.scan(
+            body, xt, (params_local, jnp.arange(L, dtype=jnp.int32))
+        )
+        return (xt, t_sp, t_tp, c_sp, c_bias)
+
+    x_mbs = (
+        x.reshape(M, mb * Ftot, T, D),
+        t_spatial.reshape(M, mb * Ftot, t_spatial.shape[-1]),
+        t_temp.reshape(M, mb * T, t_temp.shape[-1]),
+        ctx_sp.reshape(M, mb * Ftot, *ctx_sp.shape[1:]),
+        None if ctx_bias is None else ctx_bias.reshape(M, mb * Ftot, *ctx_bias.shape[1:]),
+    )
+    out_mbs = gpipe(stage_fn, params["blocks"], x_mbs, mesh, axis=axis)
+    x = out_mbs[0].reshape(B * Ftot, T, D)
+
+    class _FinalShell(nn.Module):
+        # scale_shift_table is a root-level param of LatteT2V and norm_out
+        # is parameterless (no bias/scale) — the shell reproduces the exact
+        # module math (`models/t2v.py` L528-539) from the params subset
+        @nn.compact
+        def __call__(self, h, emb_sp):
+            out_table = self.param(
+                "scale_shift_table",
+                nn.initializers.normal(stddev=D**-0.5),
+                (2, D),
+            )
+            shift, scale = jnp.split(
+                out_table[None] + emb_sp[:, None, :], 2, axis=1
+            )
+            h = nn.LayerNorm(
+                epsilon=1e-6,
+                use_bias=False,
+                use_scale=False,
+                dtype=model.dtype,
+                name="norm_out",
+            )(h)
+            h = h * (1 + scale.astype(model.dtype)) + shift.astype(model.dtype)
+            return nn.Dense(
+                p * p * model.out_channels, dtype=model.dtype, name="proj_out"
+            )(h)
+
+    emb_sp = jnp.repeat(embedded_t, Ftot, axis=0)
+    x = _FinalShell().apply(
+        {
+            "params": {
+                "scale_shift_table": params["scale_shift_table"],
+                "proj_out": params["proj_out"],
+            }
+        },
+        x,
+        emb_sp,
+    )
+
+    h_p, w_p = H // p, W // p
+    x = x.reshape(B * Ftot, h_p, w_p, p, p, model.out_channels)
+    x = jnp.einsum("nhwpqc->nchpwq", x)
+    x = x.reshape(B, Ftot, model.out_channels, H, W).transpose(0, 2, 1, 3, 4)
+    return x.astype(in_dtype)

@@ -47,9 +47,16 @@ class LattePipeline:
         temporal_decoder_params=None,
         vae_scale: float = 0.18215,
         vae_spatial_scale: int = 8,
+        pp_mesh=None,
+        pp_microbatches: int = 2,
     ):
         self.transformer = transformer
         self.transformer_params = transformer_params
+        # pp_mesh: a Mesh carrying a "pp" axis — the denoise transformer
+        # runs depth-sharded via dist.pipeline.pipelined_t2v_forward, for
+        # checkpoints whose transformer exceeds one chip's HBM
+        self.pp_mesh = pp_mesh
+        self.pp_microbatches = pp_microbatches
         self.scheduler = scheduler
         self.text_encoder = text_encoder
         self.vae = vae
@@ -68,9 +75,17 @@ class LattePipeline:
             # continuous, so a float32 timestep is fine
             t_scalar = self.scheduler.model_timestep(i, ts, state)
             t = jnp.full((latent_in.shape[0],), t_scalar, jnp.float32)
-            noise_pred = self.transformer.apply(
-                params, latent_in, t, ctx, ctx_mask
-            )
+            if self.pp_mesh is not None:
+                from latte_tpu.dist.pipeline import pipelined_t2v_forward
+
+                noise_pred = pipelined_t2v_forward(
+                    self.transformer, params, latent_in, t, ctx, ctx_mask,
+                    mesh=self.pp_mesh, microbatches=self.pp_microbatches,
+                )
+            else:
+                noise_pred = self.transformer.apply(
+                    params, latent_in, t, ctx, ctx_mask
+                )
             if do_cfg:
                 uncond, text = jnp.split(noise_pred, 2, axis=0)
                 noise_pred = uncond + guidance_scale * (text - uncond)

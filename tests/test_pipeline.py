@@ -187,6 +187,51 @@ class TestPipelinedLatte:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
+class TestPipelinedT2V:
+    """Depth-sharded LatteT2V forward == model.apply (serving path)."""
+
+    def _model_and_inputs(self, num_layers=4, B=4):
+        from latte_tpu.models.t2v import LatteT2V
+
+        model = LatteT2V(
+            num_attention_heads=2, attention_head_dim=16,
+            num_layers=num_layers, patch_size=2, sample_size=8,
+            cross_attention_dim=32, caption_channels=64, video_length=4,
+            attention_mode="xla",
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, 4, 4, 16, 16))
+        t = jnp.arange(B) * 100 + 3
+        ctx = jax.random.normal(jax.random.PRNGKey(2), (B, 10, 64))
+        # mixed per-sample mask lengths: the bias path must microbatch
+        mask = (jnp.arange(10)[None, :] < (5 + jnp.arange(B)[:, None])).astype(
+            jnp.int32
+        )
+        variables = model.init({"params": jax.random.PRNGKey(1)}, x, t, ctx, mask)
+        return model, variables, x, t, ctx, mask
+
+    def test_matches_model_apply_pp2(self):
+        from latte_tpu.dist.pipeline import pipelined_t2v_forward
+
+        model, variables, x, t, ctx, mask = self._model_and_inputs()
+        ref = model.apply(variables, x, t, ctx, mask)
+        out = pipelined_t2v_forward(
+            model, variables, x, t, ctx, mask,
+            mesh=_mesh(2), microbatches=2,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_no_mask_pp4(self):
+        from latte_tpu.dist.pipeline import pipelined_t2v_forward
+
+        model, variables, x, t, ctx, _ = self._model_and_inputs()
+        ref = model.apply(variables, x, t, ctx, None)
+        out = pipelined_t2v_forward(
+            model, variables, x, t, ctx, None,
+            mesh=_mesh(4), microbatches=4,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 class TestPipelinedTrainStep:
     """Full train step (loss -> grad -> AdamW -> EMA) with the block stack
     depth-sharded over pp, composed with dp in auto mode under one jit."""

@@ -67,6 +67,35 @@ def pipeline():
     )
 
 
+class TestPipelinedServing:
+    def test_pp_mesh_matches_single_chip(self, pipeline):
+        """Depth-sharded serving (pp_mesh) reproduces the single-chip
+        pipeline's latents exactly (same seed, DDIM-3, CFG doubles the
+        batch so microbatches=2 divides it)."""
+        from jax.sharding import Mesh
+
+        pp_pipe = LattePipeline(
+            transformer=pipeline.transformer,
+            transformer_params=pipeline.transformer_params,
+            scheduler=get_scheduler("DDIM"),
+            text_encoder=FakeTextEncoder(),
+            vae=pipeline.vae,
+            vae_params=pipeline.vae_params,
+            vae_spatial_scale=2,
+            pp_mesh=Mesh(np.array(jax.devices()[:2]), ("pp",)),
+            pp_microbatches=2,
+        )
+        kwargs = dict(
+            video_length=4, height=16, width=16, num_inference_steps=3,
+            guidance_scale=7.5, output_type="latents", seed=3,
+        )
+        ref = pipeline("a cat on a skateboard", **kwargs)
+        out = pp_pipe("a cat on a skateboard", **kwargs)
+        np.testing.assert_allclose(
+            np.asarray(out.video), np.asarray(ref.video), atol=2e-5
+        )
+
+
 class TestLattePipeline:
     def test_latents_output(self, pipeline):
         out = pipeline(
