@@ -78,9 +78,14 @@ class LattePipeline:
             if self.pp_mesh is not None:
                 from latte_tpu.dist.pipeline import pipelined_t2v_forward
 
+                # largest feasible microbatch count <= requested (shapes
+                # are static at trace time; e.g. no-CFG single-prompt B=1)
+                mb = min(self.pp_microbatches, latent_in.shape[0])
+                while latent_in.shape[0] % mb:
+                    mb -= 1
                 noise_pred = pipelined_t2v_forward(
                     self.transformer, params, latent_in, t, ctx, ctx_mask,
-                    mesh=self.pp_mesh, microbatches=self.pp_microbatches,
+                    mesh=self.pp_mesh, microbatches=mb,
                 )
             else:
                 noise_pred = self.transformer.apply(

@@ -147,6 +147,16 @@ def main(config: Config) -> str:
         beta_schedule=str(getattr(config, "beta_schedule", "linear")),
     )
 
+    # pipeline_parallel: N depth-shards the transformer over N chips —
+    # serving checkpoints whose transformer exceeds one chip's HBM
+    # (dist/pipeline.pipelined_t2v_forward)
+    pp = int(getattr(config, "pipeline_parallel", 1) or 1)
+    pp_mesh = None
+    if pp > 1:
+        from latte_tpu.dist.mesh import MeshConfig, make_mesh
+
+        pp_mesh = make_mesh(MeshConfig(dp=-1, pp=pp))
+        logger.info(f"pipeline-parallel serving: pp={pp}")
     pipeline = LattePipeline(
         transformer=model,
         transformer_params=params,
@@ -154,6 +164,8 @@ def main(config: Config) -> str:
         text_encoder=text_encoder,
         vae=vae,
         vae_params=vae_params,
+        pp_mesh=pp_mesh,
+        pp_microbatches=int(getattr(config, "pp_microbatches", 2) or 2),
     )
 
     image_size = config.image_size

@@ -184,3 +184,83 @@ def convert_temporal_decoder_state_dict(
                 "conv": _conv(sd, f"up_blocks.{i}.upsamplers.0.conv")
             }
     return out
+
+
+def _load_torch_weights(path: str) -> Dict[str, Any]:
+    """Read a diffusers weights file — or a diffusers model directory
+    (picks `diffusion_pytorch_model.{safetensors,bin}`)."""
+    import os
+
+    if os.path.isdir(path):
+        for name in (
+            "diffusion_pytorch_model.safetensors",
+            "diffusion_pytorch_model.bin",
+        ):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            raise FileNotFoundError(
+                f"no diffusers weights file under {path!r}"
+            )
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return sd
+
+
+def cli():
+    """`python -m latte_tpu.tools.convert_vae SRC DST` — diffusers
+    AutoencoderKL (or, with --temporal-decoder, the
+    AutoencoderKLTemporalDecoder decoder) -> an orbax directory usable as
+    the `vae_ckpt:` / temporal-decoder checkpoint in configs."""
+    import argparse
+    import os
+
+    p = argparse.ArgumentParser(description=cli.__doc__)
+    p.add_argument("src", help="diffusers model dir or weights file")
+    p.add_argument("dst", help="output orbax checkpoint directory")
+    p.add_argument(
+        "--temporal-decoder",
+        action="store_true",
+        help="convert an AutoencoderKLTemporalDecoder decoder instead",
+    )
+    p.add_argument("--n-blocks", type=int, default=4)
+    p.add_argument(
+        "--layers-per-block",
+        type=int,
+        default=None,
+        help="default: 2 (AutoencoderKL) / 3 (temporal decoder)",
+    )
+    a = p.parse_args()
+    lpb = a.layers_per_block or (3 if a.temporal_decoder else 2)
+    sd = _load_torch_weights(a.src)
+    params = (
+        convert_temporal_decoder_state_dict(sd, a.n_blocks, lpb)
+        if a.temporal_decoder
+        else convert_vae_state_dict(sd, a.n_blocks, lpb)
+    )
+    import orbax.checkpoint as ocp
+
+    ocp.PyTreeCheckpointer().save(os.path.abspath(a.dst), params)
+    n = sum(1 for _ in _iter_leaves(params))
+    print(f"wrote {a.dst} ({n} arrays)")
+
+
+def _iter_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _iter_leaves(v)
+    else:
+        yield tree
+
+
+if __name__ == "__main__":
+    cli()

@@ -76,7 +76,12 @@ _SLOW_NODES = [
     "test_models.py::TestModelOptions::test_unroll_blocks_matches_scan",
     "test_persistence_gradfix.py::TestFixedSpatial::test_only_temporal_attention_updates",
     "test_persistence_gradfix.py::TestGradfix::test_second_order_grid_sample",
+    "test_pipeline.py::TestPipelinedLatte",
+    "test_pipeline.py::TestPipelinedT2V",
+    "test_pipeline.py::TestPipelinedTrainStep",
     "test_pipeline_t2v.py::TestLattePipeline::test_stochastic_scheduler_gets_rng",
+    "test_pipeline_t2v.py::TestPipelinedServing",
+    "test_sample_t2x.py::TestSampleT2X::test_t2v_smoke_pipeline_parallel",
     "test_quant.py::TestQuantizedModel::test_latte_img_parity",
     "test_quant.py::TestQuantizedModel::test_model_parity",
     "test_quant.py::TestQuantizedModel::test_t2v_parity",

@@ -179,6 +179,36 @@ class TestVAEConversion:
         got_shapes = jax.tree_util.tree_map(lambda a: np.asarray(a).shape, params)
         assert ref_shapes == got_shapes
 
+    def test_cli_roundtrip(self, rng_np, tmp_path, monkeypatch):
+        """`python -m latte_tpu.tools.convert_vae DIR DST`: diffusers-dir
+        discovery -> safetensors load -> orbax write must reproduce the
+        direct conversion exactly."""
+        from safetensors.numpy import save_file
+
+        from latte_tpu.tools.convert_vae import cli
+
+        sd = self._make_diffusers_sd(rng_np)
+        save_file(
+            {k: np.asarray(v, np.float32) for k, v in sd.items()},
+            str(tmp_path / "diffusion_pytorch_model.safetensors"),
+        )
+        dst = tmp_path / "vae_orbax"
+        monkeypatch.setattr(
+            "sys.argv",
+            ["convert_vae", str(tmp_path), str(dst),
+             "--n-blocks", "2", "--layers-per-block", "1"],
+        )
+        cli()
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(str(dst))
+        direct = convert_vae_state_dict(sd, n_blocks=2, layers_per_block=1)
+        flat_r = dict(jax.tree_util.tree_leaves_with_path(restored))
+        flat_d = jax.tree_util.tree_leaves_with_path(direct)
+        assert len(flat_r) == len(flat_d)
+        for path, leaf in flat_d:
+            np.testing.assert_allclose(np.asarray(flat_r[path]), np.asarray(leaf))
+
     def test_converted_runs(self, rng_np):
         sd = self._make_diffusers_sd(rng_np)
         params = convert_vae_state_dict(sd, n_blocks=2, layers_per_block=1)
