@@ -38,6 +38,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 __all__ = [
     "gpipe",
     "pipelined_latte_forward",
+    "pipelined_latte_img_forward",
     "pipelined_t2v_forward",
     "make_pipelined_apply",
 ]
@@ -161,28 +162,152 @@ def make_pipelined_apply(
     Plugs into ``make_train_step(..., apply_fn=...)`` so the identical
     loss/optimizer/EMA step runs with the block stack depth-sharded over
     ``axis`` — training models whose parameters exceed one chip's HBM.
+    Dispatches Latte vs LatteIMG (joint video+image batches) by model type.
     """
+    from latte_tpu.models.dit_img import LatteIMG
 
-    def apply_fn(variables, x, t, *, train=False, rngs=None, y=None, **kw):
+    is_img = isinstance(model, LatteIMG)
+
+    def apply_fn(
+        variables,
+        x,
+        t,
+        *,
+        train=False,
+        rngs=None,
+        y=None,
+        y_image=None,
+        text_embedding=None,
+        **kw,
+    ):
         if kw:
             raise NotImplementedError(
                 f"pipelined apply supports Latte/LatteIMG conditioning only "
                 f"(got extra kwargs {sorted(kw)})"
             )
-        return pipelined_latte_forward(
-            model,
-            variables,
-            x,
-            t,
-            y,
+        common = dict(
             mesh=mesh,
             microbatches=microbatches,
             axis=axis,
             train=train,
             dropout_rng=(rngs or {}).get("label_dropout"),
         )
+        if is_img:
+            return pipelined_latte_img_forward(
+                model, variables, x, t, y, y_image, text_embedding, **common
+            )
+        return pipelined_latte_forward(
+            model, variables, x, t, y, text_embedding=text_embedding, **common
+        )
 
     return apply_fn
+
+
+def _run_pair_pipeline(
+    pair,
+    blocks_params,
+    tokens: jnp.ndarray,  # (B*F, T, D)
+    c_spatial: jnp.ndarray,  # (B*F, D)
+    c_temp: jnp.ndarray,  # (B*T, D)
+    temp_embed: jnp.ndarray,  # (1, Fv, D) — shared, closed over
+    microbatches: int,
+    mesh: Mesh,
+    axis: str,
+    dtype,
+) -> jnp.ndarray:
+    """Shared GPipe driver for the scanned (spatial, temporal) pair stacks.
+
+    Latte, LatteIMG, and LatteT2V pairs all expose
+    ``(x, (c_spatial, c_temp, temp_embed), is_first) -> (x, aux)``; the
+    microbatch axis is the sample batch B (temporal blocks mix frames
+    within a sample, so frames cannot be split)."""
+    BF, T, D = tokens.shape
+    M = microbatches
+    mbF = BF // M
+    mbT = c_temp.shape[0] // M
+
+    def stage_fn(params_local, xc, unit_offset):
+        xt, c_sp, c_tp = xc
+
+        def body(carry, sliced):
+            pair_params, local_i = sliced
+            is_first = ((unit_offset + local_i) == 0).astype(dtype)
+            out, _ = pair.apply(
+                {"params": pair_params},
+                carry,
+                (c_sp, c_tp, temp_embed),
+                is_first.reshape(1, 1, 1),
+            )
+            return out, None
+
+        L = jax.tree_util.tree_leaves(params_local)[0].shape[0]
+        xt, _ = jax.lax.scan(
+            body, xt, (params_local, jnp.arange(L, dtype=jnp.int32))
+        )
+        return (xt, c_sp, c_tp)
+
+    x_mbs = (
+        tokens.reshape(M, mbF, T, D),
+        c_spatial.reshape(M, mbF, D),
+        c_temp.reshape(M, mbT, D),
+    )
+    out_mbs, _, _ = gpipe(stage_fn, blocks_params, x_mbs, mesh, axis=axis)
+    return out_mbs.reshape(BF, T, D)
+
+
+def _apply_y_shell(model, params, y, y_image, train, dropout_rng):
+    """Label embedding outside the module, with flax-exact rng semantics.
+
+    Hosts a LabelEmbedder at scope path ('y_embedder',) — the path the
+    models declare — and makes the SAME SEQUENCE of calls (y, then y_image
+    when given), so make_rng('label_dropout') folds per-call counters
+    identically and train-mode CFG dropout matches the model bit-exact.
+    """
+    from latte_tpu.models.embeddings import LabelEmbedder
+
+    class _YShell(nn.Module):
+        @nn.compact
+        def __call__(self, y, y_image, train):
+            emb = LabelEmbedder(
+                num_classes=model.num_classes,
+                hidden_size=model.hidden_size,
+                dropout_prob=model.class_dropout_prob,
+                dtype=model.dtype,
+                name="y_embedder",
+            )
+            y_emb = emb(y, train=train)
+            y_img_emb = None if y_image is None else emb(y_image, train=train)
+            return y_emb, y_img_emb
+
+    return _YShell().apply(
+        {"params": {"y_embedder": params["y_embedder"]}},
+        y,
+        y_image,
+        train,
+        rngs={"label_dropout": dropout_rng} if train else None,
+    )
+
+
+def _apply_text_shell(model, params, txt_flat):
+    """extras==78 text conditioner: Dense at the model's scope path."""
+
+    class _TxtShell(nn.Module):
+        @nn.compact
+        def __call__(self, txt):
+            return nn.Dense(
+                model.hidden_size,
+                dtype=model.dtype,
+                name="text_embedding_projection",
+            )(nn.silu(txt.astype(model.dtype)))
+
+    return _TxtShell().apply(
+        {
+            "params": {
+                "text_embedding_projection": params["text_embedding_projection"]
+            }
+        },
+        txt_flat,
+    )
 
 
 def pipelined_latte_forward(
@@ -197,6 +322,7 @@ def pipelined_latte_forward(
     axis: str = "pp",
     train: bool = False,
     dropout_rng: Optional[jax.Array] = None,
+    text_embedding: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Latte forward with the pair stack pipelined over ``axis``.
 
@@ -211,7 +337,6 @@ def pipelined_latte_forward(
     """
     from latte_tpu.models.dit import SpatioTemporalPair
     from latte_tpu.models.embeddings import (
-        LabelEmbedder,
         TimestepEmbedder,
         get_1d_sincos_pos_embed,
         get_2d_sincos_pos_embed,
@@ -224,7 +349,6 @@ def pipelined_latte_forward(
     p = model.patch_size
     M = microbatches
     assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
-    mb = B // M
 
     tokens = PatchEmbed(
         patch_size=p, hidden_size=model.hidden_size, dtype=model.dtype
@@ -244,29 +368,15 @@ def pipelined_latte_forward(
     c_spatial = jnp.repeat(t_emb, F, axis=0)
     c_temp = jnp.repeat(t_emb, T, axis=0)
     if model.extras == 2:
-
-        class _YShell(nn.Module):
-            # hosts the embedder at scope path ('y_embedder',) — the same
-            # path Latte declares, so make_rng('label_dropout') folds the
-            # rng identically and train-mode CFG dropout matches bit-exact
-            @nn.compact
-            def __call__(self, y, train):
-                return LabelEmbedder(
-                    num_classes=model.num_classes,
-                    hidden_size=model.hidden_size,
-                    dropout_prob=model.class_dropout_prob,
-                    dtype=model.dtype,
-                    name="y_embedder",
-                )(y, train)
-
-        y_emb = _YShell().apply(
-            {"params": {"y_embedder": params["y_embedder"]}},
-            y,
-            train,
-            rngs={"label_dropout": dropout_rng} if train else None,
-        )
+        y_emb = _apply_y_shell(model, params, y, None, train, dropout_rng)[0]
         c_spatial = c_spatial + jnp.repeat(y_emb, F, axis=0)
         c_temp = c_temp + jnp.repeat(y_emb, T, axis=0)
+    elif model.extras == 78:
+        txt = _apply_text_shell(
+            model, params, text_embedding.reshape(B, -1)
+        )
+        c_spatial = c_spatial + jnp.repeat(txt, F, axis=0)
+        c_temp = c_temp + jnp.repeat(txt, T, axis=0)
 
     pair = SpatioTemporalPair(
         hidden_size=model.hidden_size,
@@ -276,36 +386,13 @@ def pipelined_latte_forward(
         quantized=model.quantized,
         dtype=model.dtype,
     )
-
-    def stage_fn(params_local, xc, unit_offset):
-        xt, c_sp, c_tp = xc
-
-        def body(carry, sliced):
-            pair_params, local_i = sliced
-            is_first = ((unit_offset + local_i) == 0).astype(model.dtype)
-            out, _ = pair.apply(
-                {"params": pair_params},
-                carry,
-                (c_sp, c_tp, temp_embed),
-                is_first.reshape(1, 1, 1),
-            )
-            return out, None
-
-        L = jax.tree_util.tree_leaves(params_local)[0].shape[0]
-        xt, _ = jax.lax.scan(
-            body, xt, (params_local, jnp.arange(L, dtype=jnp.int32))
-        )
-        return (xt, c_sp, c_tp)
-
-    # microbatch over B: tokens (B·F, T, D) -> (M, mb·F, T, D); conds likewise
-    x_mbs = (
-        tokens.reshape(M, mb * F, T, model.hidden_size),
-        c_spatial.reshape(M, mb * F, model.hidden_size),
-        c_temp.reshape(M, mb * T, model.hidden_size),
+    tokens = _run_pair_pipeline(
+        pair, params["blocks"], tokens, c_spatial, c_temp, temp_embed,
+        M, mesh, axis, model.dtype,
     )
-    out_mbs, _, _ = gpipe(stage_fn, params["blocks"], x_mbs, mesh, axis=axis)
-    tokens = out_mbs.reshape(B * F, T, model.hidden_size)
 
+    # text path (extras==78) conditions the final layer on timestep only,
+    # matching `models/dit.py` L266-268
     c_final = (
         c_spatial if model.extras == 2 else jnp.repeat(t_emb, F, axis=0)
     )
@@ -317,6 +404,109 @@ def pipelined_latte_forward(
     ).apply({"params": params["final_layer"]}, tokens, c_final)
     out = unpatchify(tokens, p, model.out_channels)
     return out.reshape(B, F, model.out_channels, H, W).astype(in_dtype)
+
+
+def pipelined_latte_img_forward(
+    model,
+    variables,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    y: Optional[jnp.ndarray] = None,
+    y_image: Optional[jnp.ndarray] = None,
+    text_embedding: Optional[jnp.ndarray] = None,
+    *,
+    mesh: Mesh,
+    microbatches: int,
+    axis: str = "pp",
+    train: bool = False,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """LatteIMG (joint video+image) forward pipelined over ``axis``.
+
+    Mirrors `models/dit_img.py` ``LatteIMG.__call__``: the frame axis
+    carries ``num_frames`` video frames then ``use_image_num`` stills
+    (train mode); temporal blocks touch only the video frames inside the
+    pair, so the pipeline machinery is identical to Latte's. Per-image
+    labels reuse the shared y_embedder with flax-exact dropout rng
+    sequencing (`_apply_y_shell`)."""
+    from latte_tpu.models.dit_img import JointSpatioTemporalPair
+    from latte_tpu.models.embeddings import (
+        TimestepEmbedder,
+        get_1d_sincos_pos_embed,
+        get_2d_sincos_pos_embed,
+    )
+    from latte_tpu.models.layers import FinalLayer, PatchEmbed, unpatchify
+
+    params = variables["params"]
+    B, Ftot, C, H, W = x.shape
+    in_dtype = x.dtype
+    p = model.patch_size
+    Fv = Ftot - (model.use_image_num if train else 0)
+    M = microbatches
+    assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
+
+    tokens = PatchEmbed(
+        patch_size=p, hidden_size=model.hidden_size, dtype=model.dtype
+    ).apply({"params": params["x_embedder"]}, x.reshape(B * Ftot, C, H, W))
+    T = tokens.shape[1]
+    pos = jnp.asarray(
+        get_2d_sincos_pos_embed(model.hidden_size, H // p), dtype=model.dtype
+    )[None]
+    temp_embed = jnp.asarray(
+        get_1d_sincos_pos_embed(model.hidden_size, Fv), dtype=model.dtype
+    )[None]
+    tokens = tokens + pos
+
+    t_emb = TimestepEmbedder(hidden_size=model.hidden_size, dtype=model.dtype).apply(
+        {"params": params["t_embedder"]}, t
+    )
+    c_spatial = jnp.repeat(t_emb, Ftot, axis=0)
+    c_temp = jnp.repeat(t_emb, T, axis=0)
+
+    if model.extras == 2:
+        joint = train and model.use_image_num > 0 and y_image is not None
+        y_emb, y_img_emb = _apply_y_shell(
+            model, params, y, y_image if joint else None, train, dropout_rng
+        )
+        if joint:
+            y_spatial = jnp.concatenate(
+                [jnp.repeat(y_emb[:, None, :], Fv, axis=1), y_img_emb], axis=1
+            ).reshape(B * Ftot, -1)
+        else:
+            y_spatial = jnp.repeat(y_emb, Ftot, axis=0)
+        c_spatial = c_spatial + y_spatial
+        c_temp = c_temp + jnp.repeat(y_emb, T, axis=0)
+    elif model.extras == 78:
+        # per-frame text rows: row 0 for all video frames, rows 1..I per
+        # still image (`models/dit_img.py` L182-197)
+        txt = _apply_text_shell(model, params, text_embedding)
+        txt_video = jnp.repeat(txt[:, :1], Fv, axis=1)
+        txt_spatial = jnp.concatenate([txt_video, txt[:, 1:]], axis=1)
+        c_spatial = c_spatial + txt_spatial.reshape(B * Ftot, -1)
+        c_temp = c_temp + jnp.repeat(txt[:, 0], T, axis=0)
+
+    pair = JointSpatioTemporalPair(
+        hidden_size=model.hidden_size,
+        num_heads=model.num_heads,
+        num_video_frames=Fv,
+        mlp_ratio=model.mlp_ratio,
+        attention_mode=model.attention_mode,
+        quantized=model.quantized,
+        dtype=model.dtype,
+    )
+    tokens = _run_pair_pipeline(
+        pair, params["blocks"], tokens, c_spatial, c_temp, temp_embed,
+        M, mesh, axis, model.dtype,
+    )
+
+    tokens = FinalLayer(
+        hidden_size=model.hidden_size,
+        patch_size=p,
+        out_channels=model.out_channels,
+        dtype=model.dtype,
+    ).apply({"params": params["final_layer"]}, tokens, c_spatial)
+    out = unpatchify(tokens, p, model.out_channels)
+    return out.reshape(B, Ftot, model.out_channels, H, W).astype(in_dtype)
 
 
 def pipelined_t2v_forward(

@@ -254,11 +254,6 @@ def main(config: Config, callbacks=None) -> dict:
                 "pipeline_parallel composes with data parallelism only "
                 f"(got tensor_parallel={tp}, sequence_parallel={sp})"
             )
-        if int(getattr(config, "use_image_num", 0) or 0):
-            raise ValueError(
-                "pipeline_parallel does not support use_image_num joint "
-                "batches yet"
-            )
         if bool(getattr(config, "fsdp", False)):
             raise ValueError(
                 "pipeline_parallel already shards the block stack; "

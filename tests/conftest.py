@@ -77,6 +77,8 @@ _SLOW_NODES = [
     "test_persistence_gradfix.py::TestFixedSpatial::test_only_temporal_attention_updates",
     "test_persistence_gradfix.py::TestGradfix::test_second_order_grid_sample",
     "test_pipeline.py::TestPipelinedLatte",
+    "test_pipeline.py::TestPipelinedLatteText",
+    "test_pipeline.py::TestPipelinedLatteIMG",
     "test_pipeline.py::TestPipelinedT2V",
     "test_pipeline.py::TestPipelinedTrainStep",
     "test_pipeline_t2v.py::TestLattePipeline::test_stochastic_scheduler_gets_rng",

@@ -187,6 +187,81 @@ class TestPipelinedLatte:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
+class TestPipelinedLatteText:
+    """extras=78 (CLIP text embedding conditioner) through the pipeline."""
+
+    def test_text_conditioning_matches(self):
+        model = Latte(
+            input_size=8, patch_size=2, num_frames=4, extras=78,
+            learn_sigma=True, hidden_size=32, depth=8, num_heads=2,
+            attention_mode="xla",
+        )
+        B = 4
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, 4, 4, 8, 8))
+        t = jnp.arange(B) * 50
+        txt = jax.random.normal(jax.random.PRNGKey(2), (B, 1, 16))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1)}, x, t, text_embedding=txt
+        )
+        ref = model.apply(variables, x, t, text_embedding=txt)
+        out = pipelined_latte_forward(
+            model, variables, x, t,
+            mesh=_mesh(2), microbatches=2, text_embedding=txt,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestPipelinedLatteIMG:
+    """Joint video+image batches (use_image_num) through the pipeline."""
+
+    def _model_and_inputs(self, extras=2, use_image_num=2, B=4):
+        from latte_tpu.models.dit_img import LatteIMG
+
+        model = LatteIMG(
+            input_size=8, patch_size=2, num_frames=4, extras=extras,
+            use_image_num=use_image_num, learn_sigma=True, hidden_size=32,
+            depth=8, num_heads=2, attention_mode="xla", num_classes=10,
+        )
+        Ftot = 4 + use_image_num
+        x = jax.random.normal(jax.random.PRNGKey(0), (B, Ftot, 4, 8, 8))
+        t = jnp.arange(B) * 50
+        y = jnp.arange(B) % 10
+        y_image = (jnp.arange(B * use_image_num) % 10).reshape(B, use_image_num)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "label_dropout": jax.random.PRNGKey(2)},
+            x, t, y=y, y_image=y_image, train=True,
+        )
+        return model, variables, x, t, y, y_image
+
+    def test_joint_train_label_dropout_matches(self):
+        # the shared y_embedder is called TWICE (y then y_image): the
+        # pipelined forward must reproduce both make_rng fold counters
+        from latte_tpu.dist.pipeline import pipelined_latte_img_forward
+
+        model, variables, x, t, y, y_image = self._model_and_inputs()
+        rng = jax.random.PRNGKey(7)
+        ref = model.apply(
+            variables, x, t, y=y, y_image=y_image, train=True,
+            rngs={"label_dropout": rng},
+        )
+        out = pipelined_latte_img_forward(
+            model, variables, x, t, y, y_image,
+            mesh=_mesh(2), microbatches=2, train=True, dropout_rng=rng,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_eval_video_only_matches(self):
+        from latte_tpu.dist.pipeline import pipelined_latte_img_forward
+
+        model, variables, _, t, y, _ = self._model_and_inputs()
+        x = jax.random.normal(jax.random.PRNGKey(3), (4, 4, 4, 8, 8))
+        ref = model.apply(variables, x, t, y=y)
+        out = pipelined_latte_img_forward(
+            model, variables, x, t, y, mesh=_mesh(4), microbatches=2,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
 class TestPipelinedT2V:
     """Depth-sharded LatteT2V forward == model.apply (serving path)."""
 

@@ -190,6 +190,19 @@ class TestPipelineParallelTraining:
         out = main(cfg)
         assert np.isfinite(out["loss"])
 
+    def test_pp2_joint_image_batches(self, tmp_path):
+        # use_image_num joint batches (LatteIMG + y_image) through the
+        # pipelined step
+        from latte_tpu.train.train import main
+
+        cfg = tiny_train_cfg(
+            tmp_path, model="LatteIMG-S/2", pipeline_parallel=2, extras=2,
+            num_classes=5, use_image_num=2, max_train_steps=2, log_every=2,
+            ckpt_every=100,
+        )
+        out = main(cfg)
+        assert np.isfinite(out["loss"])
+
     def test_pp_rejects_incompatible_knobs(self, tmp_path):
         import pytest
 
