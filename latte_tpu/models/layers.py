@@ -43,7 +43,17 @@ class QDense(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_features = x.shape[-1]
-        if self.quantized:
+        if self.quantized == "train":
+            # quantized TRAINING (QAT): fp32 master `kernel` (same param
+            # as the fp path — checkpoints interchange), W8A8 forward with
+            # straight-through backward (quant/int8.int8_matmul_ste)
+            from latte_tpu.quant.int8 import int8_matmul_ste
+
+            kernel = self.param(
+                "kernel", self.kernel_init, (in_features, self.features), jnp.float32
+            )
+            y = int8_matmul_ste(jnp.asarray(x, self.dtype), kernel, self.dtype)
+        elif self.quantized:
             from latte_tpu.quant.int8 import int8_matmul
 
             w_i8 = self.param(

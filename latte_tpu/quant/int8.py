@@ -79,6 +79,54 @@ def int8_matmul(
     return (acc.astype(jnp.float32) * ax * scale.reshape(-1)).astype(out_dtype)
 
 
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def int8_matmul_ste(x: jnp.ndarray, w: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """Quantized-training matmul: W8A8 forward from FP MASTER weights,
+    straight-through backward.
+
+    Forward quantizes ``w`` per-output-channel and ``x`` per-token on the
+    fly and runs the int8×int8→int32 MXU matmul (2× the bf16 rate on v5e);
+    backward ignores both quantizers (the straight-through estimator) and
+    computes exact FP gradients ``dx = g·wᵀ``, ``dw = xᵀ·g`` — so the
+    optimizer updates full-precision masters and checkpoints stay
+    interchangeable with the fp path. This is the standard QAT recipe: the
+    forward sees exactly the arithmetic the int8 serving path will run.
+    """
+    w_i8, scale = quantize_weight(w)
+    return int8_matmul(x, w_i8, scale, out_dtype)
+
+
+def _int8_matmul_ste_fwd(x, w, out_dtype):
+    return int8_matmul_ste(x, w, out_dtype), (x, w)
+
+
+def _int8_matmul_ste_bwd(out_dtype, res, g):
+    x, w = res
+    # gradients bypass the quantizers; dots run in the compute dtype with
+    # fp32 accumulation, results cast back to the primal dtypes
+    dx = jax.lax.dot_general(
+        g,
+        jnp.asarray(w, g.dtype),
+        dimension_numbers=(((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    x2 = x.reshape(-1, x.shape[-1]).astype(g.dtype)
+    g2 = g.reshape(-1, g.shape[-1])
+    dw = jax.lax.dot_general(
+        x2,
+        g2,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    return dx, dw
+
+
+int8_matmul_ste.defvjp(_int8_matmul_ste_fwd, _int8_matmul_ste_bwd)
+
+
 def _is_target(path) -> bool:
     keys = [getattr(p, "key", None) for p in path]
     # e.g. blocks/spatial/attn/qkv/kernel — the parent module must be an

@@ -215,6 +215,11 @@ def main(config: Config, callbacks=None) -> dict:
     model = get_models(config)
     if getattr(config, "mixed_precision", False):
         model = model.clone(dtype=jnp.bfloat16)
+    if getattr(config, "quant_train", False):
+        # int8 quantized training (QAT): W8A8 forward on the hot block
+        # matmuls, straight-through backward onto fp32 masters — the model
+        # trains against the exact arithmetic of `quantized: true` serving
+        model = model.clone(quantized="train")
     diffusion = create_diffusion("", diffusion_steps=1000)
     fixed_spatial = bool(getattr(config, "fixed_spatial", False))
     optimizer = make_optimizer(

@@ -32,6 +32,100 @@ class TestWeightQuant:
         assert rel < 0.02, rel
 
 
+class TestQuantTrain:
+    """int8 quantized training: W8A8 forward + straight-through backward."""
+
+    def test_ste_forward_matches_serving_arithmetic(self):
+        # the QAT forward must run EXACTLY the serving arithmetic: quantize
+        # the master then int8_matmul
+        from latte_tpu.quant import int8_matmul_ste
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 17, 64))
+        w = jax.random.normal(jax.random.PRNGKey(1), (64, 32)) * 0.1
+        w_i8, scale = quantize_weight(w)
+        np.testing.assert_array_equal(
+            np.asarray(int8_matmul_ste(x, w, jnp.float32)),
+            np.asarray(int8_matmul(x, w_i8, scale, jnp.float32)),
+        )
+
+    def test_ste_gradients_are_fp_gradients(self):
+        from latte_tpu.quant import int8_matmul_ste
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (3, 5, 16))
+        w = jax.random.normal(jax.random.PRNGKey(3), (16, 8)) * 0.1
+        g = jax.random.normal(jax.random.PRNGKey(4), (3, 5, 8))
+
+        def loss_q(x, w):
+            return jnp.sum(int8_matmul_ste(x, w, jnp.float32) * g)
+
+        def loss_fp(x, w):
+            return jnp.sum((x @ w) * g)
+
+        dxq, dwq = jax.grad(loss_q, argnums=(0, 1))(x, w)
+        dxf, dwf = jax.grad(loss_fp, argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(dxq), np.asarray(dxf), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dwq), np.asarray(dwf), atol=1e-5)
+
+    def test_qdense_train_mode_params_interchange_with_fp(self):
+        # quantized="train" declares the SAME kernel/bias params as the fp
+        # path — a fp checkpoint drops in, and output tracks fp closely
+        from latte_tpu.models.layers import QDense
+
+        fp = QDense(features=32)
+        qt = QDense(features=32, quantized="train")
+        x = jax.random.normal(jax.random.PRNGKey(5), (6, 64))
+        v = fp.init(jax.random.PRNGKey(6), x)
+        y_fp = fp.apply(v, x)
+        y_qt = qt.apply(v, x)
+        assert (
+            jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(qt.init(jax.random.PRNGKey(6), x))
+        )
+        rel = np.linalg.norm(np.asarray(y_qt - y_fp)) / np.linalg.norm(
+            np.asarray(y_fp)
+        )
+        assert rel < 0.02, rel
+
+    def test_train_step_quant_matches_fp_loss_closely(self):
+        # a full train step on the QAT model: runs, finite, loss within a
+        # few percent of the fp step at identical seeds/params
+        from latte_tpu.core.diffusion import create_diffusion
+        from latte_tpu.models.dit import Latte
+        from latte_tpu.train import create_train_state, make_train_step
+        from latte_tpu.train.state import make_optimizer
+
+        kw = dict(
+            input_size=8, patch_size=2, num_frames=4, extras=1,
+            learn_sigma=True, hidden_size=32, depth=4, num_heads=2,
+            attention_mode="xla",
+        )
+        diffusion = create_diffusion("", diffusion_steps=100)
+        optimizer = make_optimizer(lr=1e-3, warmup_steps=0)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8, 8))
+        batch = {"latents": x}
+        rng = jax.random.PRNGKey(42)
+        losses = {}
+        for name, quantized in (("fp", False), ("qat", "train")):
+            model = Latte(**kw, quantized=quantized)
+            variables = model.init(
+                {"params": jax.random.PRNGKey(1)}, x[:1], jnp.zeros((1,), jnp.int32)
+            )
+            state = create_train_state(variables["params"], optimizer)
+            step = make_train_step(model, diffusion, optimizer, extras=1)
+            new_state, metrics = jax.jit(step)(state, batch, rng)
+            assert np.isfinite(float(metrics["loss"]))
+            # masters updated (grads flowed through the STE)
+            changed = jax.tree_util.tree_map(
+                lambda a, b: float(jnp.abs(a - b).max()),
+                new_state.params, state.params,
+            )
+            assert max(jax.tree_util.tree_leaves(changed)) > 0
+            losses[name] = float(metrics["loss"])
+        assert abs(losses["qat"] - losses["fp"]) < 0.05 * (
+            abs(losses["fp"]) + 1e-3
+        ), losses
+
+
 class TestQuantizedModel:
     def _model_and_params(self, quantized):
         from latte_tpu.models.dit import Latte

@@ -214,6 +214,19 @@ class TestPipelineParallelTraining:
             main(tiny_train_cfg(tmp_path, pipeline_parallel=2, fsdp=True))
 
 
+class TestQuantTrainLoop:
+    def test_quant_train_cli(self, tmp_path):
+        # quant_train: true — int8 QAT forward through the real train CLI
+        from latte_tpu.train.train import main
+
+        cfg = tiny_train_cfg(
+            tmp_path, quant_train=True, max_train_steps=2, log_every=2,
+            ckpt_every=100,
+        )
+        out = main(cfg)
+        assert np.isfinite(out["loss"])
+
+
 class TestPixelPath:
     """Real-pixel input paths: fused VAE encode, uint8 transport, and the
     synthetic-pixel control stream used for input-pipeline benchmarking."""
