@@ -41,6 +41,7 @@ def make_train_step(
     encode_fn: Optional[Callable] = None,
     fixed_spatial: bool = False,
     apply_fn: Optional[Callable] = None,
+    grad_accum: int = 1,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict]]:
     """Build the jittable train step.
 
@@ -57,12 +58,20 @@ def make_train_step(
     (variables, x, t, train=..., rngs=..., **kw) — the hook that lets the
     pipeline-parallel forward (`dist/pipeline.py`) drive the identical
     loss/optimizer/EMA step.
+
+    ``grad_accum`` = K > 1 splits the batch into K chunks and runs the
+    forward/backward as a `lax.scan`, averaging gradients before the single
+    optimizer update — one chunk's activations live at a time, so the
+    effective batch grows K-fold at constant activation memory (the
+    reference's `gradient_accumulation_steps` knob, left TODO at
+    `/root/reference/train.py`, realized TPU-side as scanned accumulation
+    inside ONE XLA program rather than K driver steps).
     """
     if apply_fn is None:
         apply_fn = model.apply
 
-    def train_step(state: TrainState, batch, rng: jax.Array, encode_params=None):
-        rng = jax.random.fold_in(rng, state.step)
+    def _chunk_grads(params, batch, rng, encode_params):
+        """loss/grads for one (sub-)batch; rng covers t/noise/dropout/vae."""
         rng_t, rng_noise, rng_drop, rng_vae = jax.random.split(rng, 4)
         if encode_fn is not None:
             video = batch["video"]
@@ -114,7 +123,50 @@ def make_train_step(
                 per_sample = per_sample * batch["t_weights"]
             return jnp.mean(per_sample), terms
 
-        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return loss, terms, t, grads
+
+    def train_step(state: TrainState, batch, rng: jax.Array, encode_params=None):
+        rng = jax.random.fold_in(rng, state.step)
+        if grad_accum == 1:
+            loss, terms, t, grads = _chunk_grads(
+                state.params, batch, rng, encode_params
+            )
+        else:
+            K = grad_accum
+            # row r -> chunk r % K (interleaved): under a dp-sharded batch
+            # every chunk draws rows from EVERY device (a contiguous split
+            # would run each chunk on a fraction of the mesh); samples are
+            # exchangeable, so the assignment itself is free to differ from
+            # a contiguous split
+            cbatch = jax.tree_util.tree_map(
+                lambda a: jnp.moveaxis(
+                    a.reshape(a.shape[0] // K, K, *a.shape[1:]), 1, 0
+                ),
+                batch,
+            )
+
+            def body(g_acc, inp):
+                k, bk = inp
+                loss_k, terms_k, t_k, g_k = _chunk_grads(
+                    state.params, bk, jax.random.fold_in(rng, k), encode_params
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g_k)
+                scal = {"loss": loss_k, "mse": jnp.mean(terms_k["mse"])}
+                if "vb" in terms_k:
+                    scal["vb"] = jnp.mean(terms_k["vb"])
+                return g_acc, (scal, t_k, terms_k["loss"])
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            g_sum, (scals, t_all, per_sample_all) = jax.lax.scan(
+                body, g0, (jnp.arange(1, K + 1), cbatch)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / K, g_sum)
+            loss = jnp.mean(scals["loss"])
+            t = t_all.reshape(-1)
+            terms = {"mse": scals["mse"], "loss": per_sample_all.reshape(-1)}
+            if "vb" in scals:
+                terms["vb"] = scals["vb"]
 
         if fixed_spatial:
             # fine-tune only the temporal attention (reference

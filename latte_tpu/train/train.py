@@ -447,6 +447,14 @@ def main(config: Config, callbacks=None) -> dict:
         logger.info(
             f"pipeline parallelism: pp={pp} stages x {pp_microbatches} microbatches"
         )
+    grad_accum = int(getattr(config, "gradient_accumulation_steps", 1) or 1)
+    if grad_accum > 1:
+        # per-chunk batches must still split evenly over dp
+        assert local_batch % grad_accum == 0, (
+            f"gradient_accumulation_steps={grad_accum} must divide "
+            f"local_batch_size={local_batch}"
+        )
+        logger.info(f"gradient accumulation: {grad_accum} chunks/step")
     train_step = make_train_step(
         model,
         diffusion,
@@ -458,6 +466,7 @@ def main(config: Config, callbacks=None) -> dict:
         encode_fn=encode_fn,
         fixed_spatial=fixed_spatial,
         apply_fn=apply_fn,
+        grad_accum=grad_accum,
     )
     jitted_step = jax.jit(train_step, donate_argnums=(0,))
     if encode_params is not None:

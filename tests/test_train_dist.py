@@ -89,6 +89,68 @@ class TestTrainStep:
         diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(p1, p2)]
         assert max(diffs) > 0  # clipping changed the update
 
+    def test_grad_accum_matches_manual_average(self):
+        """grad_accum=2 must equal: average the two chunks' grads (computed
+        with the step's documented rng derivation) and apply ONE update.
+        SGD makes the expected update closed-form."""
+        import optax
+
+        model, diffusion, _, _ = tiny_setup()
+        optimizer = optax.sgd(1e-2)
+        x = jnp.zeros((2, 2, 4, 8, 8))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0)}, x, jnp.zeros((2,), jnp.int32)
+        )
+        state = create_train_state(variables["params"], optimizer)
+        B = 4
+        batch = {
+            "latents": jax.random.normal(jax.random.PRNGKey(2), (B, 2, 4, 8, 8))
+        }
+        rng0 = jax.random.PRNGKey(7)
+        step = make_train_step(
+            model, diffusion, optimizer, grad_accum=2, start_clip_iter=10**6,
+            ema_decay=0.5,
+        )
+        new_state, metrics = jax.jit(step)(state, batch, rng0)
+
+        # manual: row r -> chunk r % 2; chunk k rng = fold_in(fold_in(rng0, step), k)
+        rng = jax.random.fold_in(rng0, 0)
+        grads, losses = [], []
+        for k in (1, 2):
+            rk = jax.random.fold_in(rng, k)
+            rng_t, rng_noise, rng_drop, _ = jax.random.split(rk, 4)
+            lat = batch["latents"][(k - 1) :: 2]
+            t = jax.random.randint(rng_t, (2,), 0, diffusion.num_timesteps, dtype=jnp.int32)
+
+            def loss_fn(params):
+                terms = diffusion.training_losses(
+                    lambda xx, tt, **kw: model.apply(
+                        {"params": params}, xx, tt, train=True,
+                        rngs={"label_dropout": rng_drop}, **kw,
+                    ),
+                    lat, t, model_kwargs={}, rng=rng_noise,
+                )
+                return jnp.mean(terms["loss"])
+
+            l, g = jax.value_and_grad(loss_fn)(state.params)
+            losses.append(float(l))
+            grads.append(g)
+        avg = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, *grads)
+        expected = jax.tree_util.tree_map(
+            lambda p, g: p - 1e-2 * g, state.params, avg
+        )
+        np.testing.assert_allclose(
+            float(metrics["loss"]), np.mean(losses), rtol=1e-6
+        )
+        for (path, leaf), (_, exp) in zip(
+            jax.tree_util.tree_leaves_with_path(new_state.params),
+            jax.tree_util.tree_leaves_with_path(expected),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(exp), atol=1e-6,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
     def test_lr_schedule_warmup(self):
         sched = make_lr_schedule(1e-4, warmup_steps=100)
         assert float(sched(0)) == 0.0

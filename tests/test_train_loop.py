@@ -214,6 +214,20 @@ class TestPipelineParallelTraining:
             main(tiny_train_cfg(tmp_path, pipeline_parallel=2, fsdp=True))
 
 
+class TestGradAccumLoop:
+    def test_grad_accum_cli(self, tmp_path):
+        # gradient_accumulation_steps (the reference's TODO knob) through
+        # the real CLI: 2 chunks per optimizer step
+        from latte_tpu.train.train import main
+
+        cfg = tiny_train_cfg(
+            tmp_path, local_batch_size=2, gradient_accumulation_steps=2,
+            max_train_steps=2, log_every=2, ckpt_every=100,
+        )
+        out = main(cfg)
+        assert np.isfinite(out["loss"])
+
+
 class TestQuantTrainLoop:
     def test_quant_train_cli(self, tmp_path):
         # quant_train: true — int8 QAT forward through the real train CLI
