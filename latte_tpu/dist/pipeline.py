@@ -207,35 +207,45 @@ def _run_pair_pipeline(
     pair,
     blocks_params,
     tokens: jnp.ndarray,  # (B*F, T, D)
-    c_spatial: jnp.ndarray,  # (B*F, D)
-    c_temp: jnp.ndarray,  # (B*T, D)
+    conds,  # tuple of B-major arrays (or None entries), e.g. (c_spatial, c_temp)
     temp_embed: jnp.ndarray,  # (1, Fv, D) — shared, closed over
     microbatches: int,
     mesh: Mesh,
     axis: str,
     dtype,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Shared GPipe driver for the scanned (spatial, temporal) pair stacks.
 
     Latte, LatteIMG, and LatteT2V pairs all expose
-    ``(x, (c_spatial, c_temp, temp_embed), is_first) -> (x, aux)``; the
+    ``(x, (*conds, temp_embed), is_first) -> (x, aux)`` — only the
+    conditioning arity differs. Every entry of ``conds`` is B-major on its
+    leading axis (a multiple of the microbatch count) and rides the
+    microbatch pytree stage-to-stage; ``None`` entries pass through. The
     microbatch axis is the sample batch B (temporal blocks mix frames
-    within a sample, so frames cannot be split)."""
+    within a sample, so frames cannot be split). ``remat`` rematerializes
+    each pair application in the backward, mirroring the models'
+    ``gradient_checkpointing`` flag."""
     BF, T, D = tokens.shape
     M = microbatches
-    mbF = BF // M
-    mbT = c_temp.shape[0] // M
+
+    def apply_pair(pair_params, carry, cond, is_first):
+        out, _ = pair.apply({"params": pair_params}, carry, cond, is_first)
+        return out
+
+    if remat:
+        apply_pair = jax.checkpoint(apply_pair, prevent_cse=False)
 
     def stage_fn(params_local, xc, unit_offset):
-        xt, c_sp, c_tp = xc
+        xt, *cs = xc
 
         def body(carry, sliced):
             pair_params, local_i = sliced
             is_first = ((unit_offset + local_i) == 0).astype(dtype)
-            out, _ = pair.apply(
-                {"params": pair_params},
+            out = apply_pair(
+                pair_params,
                 carry,
-                (c_sp, c_tp, temp_embed),
+                (*cs, temp_embed),
                 is_first.reshape(1, 1, 1),
             )
             return out, None
@@ -244,15 +254,18 @@ def _run_pair_pipeline(
         xt, _ = jax.lax.scan(
             body, xt, (params_local, jnp.arange(L, dtype=jnp.int32))
         )
-        return (xt, c_sp, c_tp)
+        return (xt, *cs)
 
-    x_mbs = (
-        tokens.reshape(M, mbF, T, D),
-        c_spatial.reshape(M, mbF, D),
-        c_temp.reshape(M, mbT, D),
-    )
-    out_mbs, _, _ = gpipe(stage_fn, blocks_params, x_mbs, mesh, axis=axis)
-    return out_mbs.reshape(BF, T, D)
+    def mb(a):
+        return (
+            None
+            if a is None
+            else a.reshape(M, a.shape[0] // M, *a.shape[1:])
+        )
+
+    x_mbs = (mb(tokens), *(mb(c) for c in conds))
+    out_mbs = gpipe(stage_fn, blocks_params, x_mbs, mesh, axis=axis)
+    return out_mbs[0].reshape(BF, T, D)
 
 
 def _apply_y_shell(model, params, y, y_image, train, dropout_rng):
@@ -387,8 +400,9 @@ def pipelined_latte_forward(
         dtype=model.dtype,
     )
     tokens = _run_pair_pipeline(
-        pair, params["blocks"], tokens, c_spatial, c_temp, temp_embed,
+        pair, params["blocks"], tokens, (c_spatial, c_temp), temp_embed,
         M, mesh, axis, model.dtype,
+        remat=model.gradient_checkpointing,
     )
 
     # text path (extras==78) conditions the final layer on timestep only,
@@ -495,8 +509,9 @@ def pipelined_latte_img_forward(
         dtype=model.dtype,
     )
     tokens = _run_pair_pipeline(
-        pair, params["blocks"], tokens, c_spatial, c_temp, temp_embed,
+        pair, params["blocks"], tokens, (c_spatial, c_temp), temp_embed,
         M, mesh, axis, model.dtype,
+        remat=model.gradient_checkpointing,
     )
 
     tokens = FinalLayer(
@@ -554,7 +569,6 @@ def pipelined_t2v_forward(
     in_dtype = hidden_states.dtype
     M = microbatches
     assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
-    mb = B // M
 
     x = hidden_states.transpose(0, 2, 1, 3, 4).reshape(B * Ftot, C, H, W)
     x = PatchEmbed(patch_size=p, hidden_size=D, dtype=model.dtype).apply(
@@ -609,35 +623,18 @@ def pipelined_t2v_forward(
         dtype=model.dtype,
     )
 
-    def stage_fn(params_local, xc, unit_offset):
-        xt, t_sp, t_tp, c_sp, c_bias = xc
-
-        def body(carry, sliced):
-            pair_params, local_i = sliced
-            is_first = ((unit_offset + local_i) == 0).astype(model.dtype)
-            out, _ = pair.apply(
-                {"params": pair_params},
-                carry,
-                (t_sp, t_tp, c_sp, c_bias, temp_pos_embed),
-                is_first.reshape(1, 1, 1),
-            )
-            return out, None
-
-        L = jax.tree_util.tree_leaves(params_local)[0].shape[0]
-        xt, _ = jax.lax.scan(
-            body, xt, (params_local, jnp.arange(L, dtype=jnp.int32))
-        )
-        return (xt, t_sp, t_tp, c_sp, c_bias)
-
-    x_mbs = (
-        x.reshape(M, mb * Ftot, T, D),
-        t_spatial.reshape(M, mb * Ftot, t_spatial.shape[-1]),
-        t_temp.reshape(M, mb * T, t_temp.shape[-1]),
-        ctx_sp.reshape(M, mb * Ftot, *ctx_sp.shape[1:]),
-        None if ctx_bias is None else ctx_bias.reshape(M, mb * Ftot, *ctx_bias.shape[1:]),
+    x = _run_pair_pipeline(
+        pair,
+        params["blocks"],
+        x,
+        (t_spatial, t_temp, ctx_sp, ctx_bias),
+        temp_pos_embed,
+        M,
+        mesh,
+        axis,
+        model.dtype,
+        remat=model.gradient_checkpointing,
     )
-    out_mbs = gpipe(stage_fn, params["blocks"], x_mbs, mesh, axis=axis)
-    x = out_mbs[0].reshape(B * Ftot, T, D)
 
     class _FinalShell(nn.Module):
         # scale_shift_table is a root-level param of LatteT2V and norm_out

@@ -22,6 +22,7 @@ Usage::
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -77,9 +78,6 @@ def int8_matmul(
         preferred_element_type=jnp.int32,
     )
     return (acc.astype(jnp.float32) * ax * scale.reshape(-1)).astype(out_dtype)
-
-
-from functools import partial
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))

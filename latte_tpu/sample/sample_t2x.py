@@ -155,7 +155,16 @@ def main(config: Config) -> str:
     if pp > 1:
         from latte_tpu.dist.mesh import MeshConfig, make_mesh
 
-        pp_mesh = make_mesh(MeshConfig(dp=-1, pp=pp))
+        # exactly pp chips: a dp>1 mesh here would replicate the whole
+        # denoise loop per dp group (the batch is not dp-sharded in this
+        # single-prompt loop), and pp need not divide the host's chip count
+        assert len(jax.devices()) >= pp, (
+            f"pipeline_parallel={pp} needs {pp} devices, "
+            f"have {len(jax.devices())}"
+        )
+        pp_mesh = make_mesh(
+            MeshConfig(dp=1, pp=pp), devices=jax.devices()[:pp]
+        )
         logger.info(f"pipeline-parallel serving: pp={pp}")
     pipeline = LattePipeline(
         transformer=model,

@@ -430,23 +430,6 @@ def main(config: Config, callbacks=None) -> dict:
         # sequence-parallel activations; model.init above ran without the
         # sharding constraints (with_sharding_constraint needs a mesh context)
         model = model.clone(activation_sharding=("dp", "sp"))
-    apply_fn = None
-    if pp > 1:
-        from latte_tpu.dist.pipeline import make_pipelined_apply
-
-        # microbatches split the LOCAL dp-shard of the batch streaming
-        # through the pipeline stages; bubble fraction (S-1)/(M+S-1)
-        pp_microbatches = int(getattr(config, "pp_microbatches", 0) or 0) or max(
-            2, 2 * pp
-        )
-        assert global_batch % pp_microbatches == 0, (
-            f"global batch {global_batch} not divisible by "
-            f"pp_microbatches={pp_microbatches}"
-        )
-        apply_fn = make_pipelined_apply(model, mesh, microbatches=pp_microbatches)
-        logger.info(
-            f"pipeline parallelism: pp={pp} stages x {pp_microbatches} microbatches"
-        )
     grad_accum = int(getattr(config, "gradient_accumulation_steps", 1) or 1)
     if grad_accum > 1:
         # per-chunk batches must still split evenly over dp
@@ -455,6 +438,26 @@ def main(config: Config, callbacks=None) -> dict:
             f"local_batch_size={local_batch}"
         )
         logger.info(f"gradient accumulation: {grad_accum} chunks/step")
+    apply_fn = None
+    if pp > 1:
+        from latte_tpu.dist.pipeline import make_pipelined_apply
+
+        # microbatches split the GLOBAL batch each forward sees (a
+        # grad-accum chunk when gradient_accumulation_steps > 1) into the
+        # units streaming through the stages; bubble fraction (S-1)/(M+S-1)
+        pp_microbatches = int(getattr(config, "pp_microbatches", 0) or 0) or max(
+            2, 2 * pp
+        )
+        fwd_batch = global_batch // grad_accum
+        assert fwd_batch % pp_microbatches == 0, (
+            f"per-forward batch {fwd_batch} (global {global_batch} / "
+            f"grad_accum {grad_accum}) not divisible by "
+            f"pp_microbatches={pp_microbatches}"
+        )
+        apply_fn = make_pipelined_apply(model, mesh, microbatches=pp_microbatches)
+        logger.info(
+            f"pipeline parallelism: pp={pp} stages x {pp_microbatches} microbatches"
+        )
     train_step = make_train_step(
         model,
         diffusion,
@@ -505,9 +508,10 @@ def main(config: Config, callbacks=None) -> dict:
         # host-resident leaves (resume / pretrained merge) get placed per
         # the precomputed shardings; already-sharded leaves are no-ops
         state = jax.tree_util.tree_map(jax.device_put, state, state_sh)
-        if tp > 1 or zero1 or sp > 1 or fsdp:
+        if tp > 1 or zero1 or sp > 1 or fsdp or pp > 1:
             # pin shardings through the step so ZeRO-1 moments stay
-            # dp-split and TP weights stay column/row-split across steps
+            # dp-split, TP weights stay column/row-split, and the pp pair
+            # stack stays depth-split across steps
             jitted_step = jax.jit(
                 train_step,
                 in_shardings=(state_sh, NamedSharding(mesh, P("dp")), None, None)

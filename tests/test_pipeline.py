@@ -157,6 +157,33 @@ class TestPipelinedLatte:
                 err_msg=jax.tree_util.keystr(path),
             )
 
+    def test_remat_grads_match(self):
+        # gradient_checkpointing must reach the pipelined pair (it is the
+        # knob that makes big-model pp training fit); values AND grads
+        # match the non-remat path
+        model, variables, x, t, _ = self._model_and_inputs()
+        rmodel = model.clone(gradient_checkpointing=True)
+        mesh = _mesh(2)
+
+        def loss(m):
+            def f(v):
+                out = pipelined_latte_forward(
+                    m, v, x, t, mesh=mesh, microbatches=2
+                )
+                return (out.astype(jnp.float32) ** 2).mean()
+
+            return f
+
+        l_plain, g_plain = jax.value_and_grad(loss(model))(variables)
+        l_remat, g_remat = jax.value_and_grad(loss(rmodel))(variables)
+        np.testing.assert_allclose(float(l_remat), float(l_plain), rtol=1e-6)
+        flat_p = dict(jax.tree_util.tree_leaves_with_path(g_plain))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(g_remat):
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat_p[path]), atol=5e-5,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
     def test_train_mode_label_dropout_matches(self):
         # train-mode CFG label dropout goes through flax make_rng with the
         # scope path folded in — the pipelined forward must reproduce the
