@@ -467,3 +467,60 @@ class TestFSDP:
             assert np.isfinite(float(metrics["loss"]))
         err = capfd.readouterr().err
         assert "Involuntary full rematerialization" not in err, err[-3000:]
+
+    def test_pp_step_compiles_without_spmd_rematerialization(self, capfd):
+        """The dp x pp pipelined train step must also compile clean — the
+        same GSPMD warning on the depth-sharded stack would mean the pair
+        weights get replicated-and-resliced inside the shard_map body."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from latte_tpu.dist.pipeline import make_pipelined_apply
+        from latte_tpu.dist.sharding import pp_param_shardings
+        from latte_tpu.train.state import TrainState
+
+        # depth=8 -> 4 scanned pairs, divisible by pp=4
+        model = Latte(
+            input_size=8, patch_size=2, hidden_size=32, depth=8,
+            num_heads=2, num_frames=2, extras=2, num_classes=10,
+            attention_mode="xla",
+        )
+        diffusion = create_diffusion("", diffusion_steps=50)
+        optimizer = make_optimizer(lr=1e-3)
+        x0 = jnp.zeros((2, 2, 4, 8, 8))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "label_dropout": jax.random.PRNGKey(1)},
+            x0, jnp.zeros((2,), jnp.int32), y=jnp.zeros((2,), jnp.int32),
+        )
+        state = create_train_state(variables["params"], optimizer)
+        mesh = make_mesh(MeshConfig(dp=2, tp=1, pp=4))
+        train_step = make_train_step(
+            model, diffusion, optimizer, extras=2,
+            apply_fn=make_pipelined_apply(model, mesh, microbatches=2),
+        )
+        batch = {
+            "latents": jax.random.normal(jax.random.PRNGKey(2), (4, 2, 4, 8, 8)),
+            "y": jnp.array([1, 2, 3, 4], jnp.int32),
+        }
+        with mesh:
+            p_shard = pp_param_shardings(state.params, mesh)
+            state_sh = TrainState(
+                step=NamedSharding(mesh, P()),
+                params=p_shard,
+                ema_params=p_shard,
+                opt_state=pp_param_shardings(state.opt_state, mesh, zero1=True),
+            )
+            state = jax.tree_util.tree_map(jax.device_put, state, state_sh)
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P("dp"))), batch
+            )
+            jitted = jax.jit(
+                train_step,
+                in_shardings=(state_sh, NamedSharding(mesh, P("dp")), None),
+                out_shardings=(state_sh, None),
+            )
+            jitted.lower(state, batch, jax.random.PRNGKey(0)).compile()
+            _, metrics = jitted(state, batch, jax.random.PRNGKey(0))
+            assert np.isfinite(float(metrics["loss"]))
+        err = capfd.readouterr().err
+        assert "Involuntary full rematerialization" not in err, err[-3000:]
