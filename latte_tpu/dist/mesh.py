@@ -15,6 +15,9 @@ Axes:
   - ``tp``: tensor parallel (hidden axis of the DiT matmuls) — the mesh
     carries the axis so models can shard attention heads / MLP columns;
     size 1 reproduces the reference's pure-DP behavior.
+  - ``ep``: expert parallel (leading expert axis of the MoE FF weights,
+    `models/moe.py`). Size 1 by default; the mesh only carries the axis
+    when ep > 1.
 
 Multi-host init goes through `jax.distributed.initialize()`
 (:func:`initialize_distributed`), replacing torchrun/SLURM rendezvous.
@@ -36,15 +39,18 @@ class MeshConfig:
     tp: int = 1
     sp: int = 1  # sequence parallel (activation token axis)
     pp: int = 1  # pipeline parallel (depth axis of the scanned pair stack)
+    ep: int = 1  # expert parallel (expert axis of the MoE FF weights)
 
     def resolve(self, n_devices: int) -> "MeshConfig":
-        denom = self.tp * self.sp * self.pp
+        denom = self.tp * self.sp * self.pp * self.ep
         dp = self.dp if self.dp != -1 else n_devices // denom
         assert dp * denom == n_devices, (
-            f"mesh dp{dp}xsp{self.sp}xtp{self.tp}xpp{self.pp} != "
+            f"mesh dp{dp}xep{self.ep}xsp{self.sp}xtp{self.tp}xpp{self.pp} != "
             f"{n_devices} devices"
         )
-        return MeshConfig(dp=dp, tp=self.tp, sp=self.sp, pp=self.pp)
+        return MeshConfig(
+            dp=dp, tp=self.tp, sp=self.sp, pp=self.pp, ep=self.ep
+        )
 
 
 def make_mesh(
@@ -56,6 +62,11 @@ def make_mesh(
     # specs keep working. pp innermost: GPipe stage hops (ppermute) ride
     # nearest-neighbor ICI links.
     dims, names = [cfg.dp], ["dp"]
+    if cfg.ep > 1:
+        # ep right after dp: the dispatch/combine all-to-alls between the
+        # dp-sharded tokens and ep-sharded experts ride adjacent ICI links
+        dims.append(cfg.ep)
+        names.append("ep")
     if cfg.sp > 1:
         dims.append(cfg.sp)
         names.append("sp")

@@ -397,6 +397,9 @@ def pipelined_latte_forward(
         mlp_ratio=model.mlp_ratio,
         attention_mode=model.attention_mode,
         quantized=model.quantized,
+        moe_experts=model.moe_experts,
+        moe_top_k=model.moe_top_k,
+        moe_capacity_factor=model.moe_capacity_factor,
         dtype=model.dtype,
     )
     tokens = _run_pair_pipeline(
@@ -506,6 +509,9 @@ def pipelined_latte_img_forward(
         mlp_ratio=model.mlp_ratio,
         attention_mode=model.attention_mode,
         quantized=model.quantized,
+        moe_experts=model.moe_experts,
+        moe_top_k=model.moe_top_k,
+        moe_capacity_factor=model.moe_capacity_factor,
         dtype=model.dtype,
     )
     tokens = _run_pair_pipeline(

@@ -69,6 +69,40 @@ def shard_params(params: Any, mesh: Mesh):
     )
 
 
+def _ep_axis_index(path_keys) -> int:
+    """Expert axis position of a MoE weight: the pair scan stacks an
+    ``n_pairs`` axis in front (`models/dit.py` PairScan), pushing the
+    expert axis from 0 to 1."""
+    return 1 if "blocks" in path_keys else 0
+
+
+def ep_param_shardings(params: Any, mesh: Mesh):
+    """Expert parallelism: MoE expert weights shard over ``ep``.
+
+    The expert-stacked leaves of `models/moe.py` (``wi``/``wo``/``bi``/
+    ``bo``, paths containing ``moe``) split their expert axis over the
+    mesh's ``ep`` axis — each device holds E/ep experts. Tokens stay
+    dp-sharded; under jit GSPMD turns the dispatch/combine einsums into
+    the all-to-all pair around the expert matmuls. Routers are (D, E) and
+    tiny — they replicate, as does everything outside the MoE (composed
+    with the Megatron TP rules via ``_spec_for``).
+    """
+    ep = mesh.shape["ep"]
+
+    def rule(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        shape = getattr(leaf, "shape", ())
+        if "moe" in keys and keys[-1] in ("wi", "wo", "bi", "bo"):
+            ax = _ep_axis_index(keys)
+            if len(shape) > ax and shape[ax] % ep == 0:
+                spec = [None] * len(shape)
+                spec[ax] = "ep"
+                return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, _spec_for(keys, leaf))
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
 def fsdp_param_shardings(params: Any, mesh: Mesh):
     """ZeRO-3 / FSDP: the weights themselves shard over ``dp``.
 
@@ -92,6 +126,17 @@ def fsdp_param_shardings(params: Any, mesh: Mesh):
         base = _spec_for(keys, leaf)
         shape = getattr(leaf, "shape", ())
         spec = list(tuple(base) + (None,) * (len(shape) - len(tuple(base))))
+        # expert parallelism composes: when the mesh carries an ep axis,
+        # MoE expert weights pin their expert axis to it first, and the
+        # largest-axis dp rule below then picks among the remaining dims
+        if (
+            "ep" in mesh.shape
+            and "moe" in keys
+            and keys[-1] in ("wi", "wo", "bi", "bo")
+        ):
+            ax = _ep_axis_index(keys)
+            if len(shape) > ax and spec[ax] is None and shape[ax] % mesh.shape["ep"] == 0:
+                spec[ax] = "ep"
         # adaLN_modulation kernels take the generic largest-axis rule, which
         # lands on the OUTPUT (6D) dim. Input-dim sharding looks tempting
         # (the (B, 6D) modulation output is a tiny broadcast conditioner)

@@ -75,6 +75,10 @@ class SpatioTemporalPair(nn.Module):
     ring_mesh: Optional[object] = None
     ring_axis: str = "sp"
     activation_sharding: Optional[Tuple[str, ...]] = None
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_ep_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     def _constrain(self, x):
@@ -96,6 +100,12 @@ class SpatioTemporalPair(nn.Module):
         BF, T, D = x.shape
         B = BF // F
 
+        moe_kw = dict(
+            moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_ep_axis=self.moe_ep_axis,
+        )
         x = self._constrain(x)
         x = AdaLNBlock(
             hidden_size=self.hidden_size,
@@ -108,6 +118,7 @@ class SpatioTemporalPair(nn.Module):
             activation_sharding=self.activation_sharding,
             dtype=self.dtype,
             name="spatial",
+            **moe_kw,
         )(x, c_spatial)
 
         # (b f) t d -> (b t) f d; under SP this relayout is the all-to-all
@@ -126,6 +137,7 @@ class SpatioTemporalPair(nn.Module):
             activation_sharding=self.activation_sharding,
             dtype=self.dtype,
             name="temporal",
+            **moe_kw,
         )(x, c_temp)
 
         # (b t) f d -> (b f) t d
@@ -166,6 +178,13 @@ class Latte(nn.Module):
     # mesh axes to shard the fused batch·token leading dim over, e.g.
     # ("dp", "sp") — sequence parallelism; requires jitting under a Mesh
     activation_sharding: Optional[Tuple[str, ...]] = None
+    # Mixture-of-Experts FF (models/moe.py): >1 swaps each block's dense
+    # MLP for E expert MLPs + a top-k router; expert weights shard over
+    # the mesh "ep" axis (moe_ep_axis) — expert parallelism
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_ep_axis: Optional[str] = None
     gradient_checkpointing: bool = False
     # remat policy when gradient_checkpointing: "full" | "dots"
     remat_policy: str = "full"
@@ -243,7 +262,10 @@ class Latte(nn.Module):
             pair_cls = nn.remat(pair_cls, prevent_cse=False, **kw_remat)
         PairScan = nn.scan(
             pair_cls,
-            variable_axes={"params": 0},
+            # "intermediates" carries the sown MoE aux losses; stacking it
+            # on axis 0 gives one value per scanned pair (a no-op when the
+            # caller doesn't apply with mutable=["intermediates"])
+            variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, 0),
             length=n_pairs,
@@ -259,6 +281,10 @@ class Latte(nn.Module):
             ring_mesh=self.ring_mesh,
             ring_axis=self.ring_axis,
             activation_sharding=self.activation_sharding,
+            moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_ep_axis=self.moe_ep_axis,
             dtype=self.dtype,
             name="blocks",
         )(x, (c_spatial, c_temp, temp_embed), is_first)

@@ -48,6 +48,10 @@ class JointSpatioTemporalPair(nn.Module):
     mlp_ratio: float = 4.0
     attention_mode: str = "auto"
     quantized: bool = False
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_ep_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -61,6 +65,12 @@ class JointSpatioTemporalPair(nn.Module):
         Fv = self.num_video_frames
         BF, T, D = x.shape
 
+        moe_kw = dict(
+            moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_ep_axis=self.moe_ep_axis,
+        )
         x = AdaLNBlock(
             hidden_size=self.hidden_size,
             num_heads=self.num_heads,
@@ -69,6 +79,7 @@ class JointSpatioTemporalPair(nn.Module):
             quantized=self.quantized,
             dtype=self.dtype,
             name="spatial",
+            **moe_kw,
         )(x, c_spatial)
 
         B = c_temp.shape[0] // T
@@ -86,6 +97,7 @@ class JointSpatioTemporalPair(nn.Module):
             quantized=self.quantized,
             dtype=self.dtype,
             name="temporal",
+            **moe_kw,
         )(x_video, c_temp)
 
         x = jnp.concatenate([x_video, x_image], axis=1)
@@ -113,6 +125,12 @@ class LatteIMG(nn.Module):
     attention_mode: str = "auto"
     # W8A8 int8 serving (latte_tpu/quant)
     quantized: bool = False
+    # Mixture-of-Experts FF (models/moe.py); weights shard over the mesh
+    # "ep" axis (moe_ep_axis) — expert parallelism
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_ep_axis: Optional[str] = None
     gradient_checkpointing: bool = False
     # remat policy when gradient_checkpointing: "full" | "dots"
     remat_policy: str = "full"
@@ -204,7 +222,9 @@ class LatteIMG(nn.Module):
             pair_cls = nn.remat(pair_cls, prevent_cse=False, **kw_remat)
         PairScan = nn.scan(
             pair_cls,
-            variable_axes={"params": 0},
+            # "intermediates" stacks the sown MoE aux losses per pair (a
+            # no-op unless applied with mutable=["intermediates"])
+            variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, 0),
             length=n_pairs,
@@ -218,6 +238,10 @@ class LatteIMG(nn.Module):
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
             quantized=self.quantized,
+            moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_ep_axis=self.moe_ep_axis,
             dtype=self.dtype,
             name="blocks",
         )(x, (c_spatial, c_temp, temp_embed), is_first)

@@ -213,6 +213,13 @@ class AdaLNBlock(nn.Module):
     ring_mesh: Optional[object] = None
     ring_axis: str = "sp"
     activation_sharding: Optional[tuple] = None
+    # Mixture-of-Experts FF (latte_tpu/models/moe.py): >1 replaces the
+    # dense MLP with E expert MLPs + top-k router; weights shard over the
+    # mesh "ep" axis (moe_ep_axis) for expert parallelism
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_ep_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -258,13 +265,30 @@ class AdaLNBlock(nn.Module):
         norm2 = nn.LayerNorm(
             epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm2"
         )(x)
-        x = x + gate_mlp[:, None, :] * Mlp(
-            hidden_features=int(self.hidden_size * self.mlp_ratio),
-            out_features=self.hidden_size,
-            quantized=self.quantized,
-            dtype=self.dtype,
-            name="mlp",
-        )(modulate(norm2, shift_mlp, scale_mlp))
+        if self.moe_experts > 1:
+            from latte_tpu.models.moe import MoEMlp
+
+            ff = MoEMlp(
+                hidden_features=int(self.hidden_size * self.mlp_ratio),
+                out_features=self.hidden_size,
+                num_experts=self.moe_experts,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                ep_axis=self.moe_ep_axis,
+                dtype=self.dtype,
+                name="moe",
+            )
+        else:
+            ff = Mlp(
+                hidden_features=int(self.hidden_size * self.mlp_ratio),
+                out_features=self.hidden_size,
+                quantized=self.quantized,
+                dtype=self.dtype,
+                name="mlp",
+            )
+        x = x + gate_mlp[:, None, :] * ff(
+            modulate(norm2, shift_mlp, scale_mlp)
+        )
         return x
 
 

@@ -1,0 +1,159 @@
+"""Mixture-of-Experts feed-forward with expert parallelism (ep).
+
+A beyond-reference scaling feature (the reference's only parallelism is
+DDP, `/root/reference/train.py:125`, and its FF is a dense MLP,
+`models/latte.py:63-78`): the DiT block's MLP is replaced by E expert
+MLPs with a learned top-k router, so parameter count scales E-fold at
+~constant per-token FLOPs, and the expert weights shard over a dedicated
+``ep`` mesh axis.
+
+TPU-native shape of the idea (GShard/Switch dispatch, all static shapes):
+
+- Routing is expressed as ONE-HOT EINSUMS, not gathers: a dispatch tensor
+  ``(S, E, C)`` built from ``argmax``/``cumsum`` one-hots scatters tokens
+  into per-expert capacity buffers with two matmuls — MXU work instead of
+  dynamic shapes, so the whole layer jits into the scanned block stack.
+- Expert weights are STACKED on a leading E axis (``(E, D, H)``), so
+  expert parallelism is just ``PartitionSpec("ep", ...)`` on that axis;
+  with tokens dp-sharded and experts ep-sharded, GSPMD inserts the
+  all-to-all pair around the expert compute automatically.
+- Capacity ``C = ceil(S·k/E · capacity_factor)`` is static from the token
+  count; overflow tokens are dropped (their FF contribution is zero and
+  the residual connection passes them through) — the standard
+  Switch-Transformer semantics, and the price of static shapes.
+
+The router computes in fp32 regardless of model dtype (softmax over
+logits is precision-sensitive); the Switch load-balancing auxiliary loss
+``E · Σ_e f_e · P_e`` is sown under ``intermediates/moe_aux_loss`` and
+picked up by the train step when ``moe_aux_weight > 0``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+__all__ = ["MoEMlp"]
+
+
+class MoEMlp(nn.Module):
+    """Drop-in MoE replacement for :class:`latte_tpu.models.layers.Mlp`.
+
+    Args mirror ``Mlp`` plus:
+      num_experts: E. ``E == 1`` degenerates to a dense MLP (the router
+        softmax over one expert is identically 1), which the tests use to
+        pin equivalence with ``Mlp``.
+      top_k: experts per token (1 = Switch, 2 = GShard default). Gates are
+        renormalized over the selected experts when ``top_k > 1``.
+      capacity_factor: slack over the perfectly-balanced ``S·k/E`` tokens
+        per expert.
+      ep_axis: mesh axis name to constrain the expert-major intermediates
+        to (``P(ep_axis, None, None)``). ``None`` leaves placement to SPMD
+        propagation from the weight shardings — required when jitting
+        without a mesh context.
+    """
+
+    hidden_features: int
+    out_features: int
+    num_experts: int
+    top_k: int = 2
+    capacity_factor: float = 1.25
+    ep_axis: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, N, D = x.shape
+        S = B * N
+        E = self.num_experts
+        k = min(self.top_k, E)
+        C = max(1, int(math.ceil(S * k * self.capacity_factor / E)))
+        C = min(C, S)  # an expert can never receive more than every token
+
+        xf = x.reshape(S, D)
+
+        # --- router (fp32) -------------------------------------------------
+        router = self.param(
+            "router",
+            nn.initializers.normal(stddev=0.02),
+            (D, E),
+            jnp.float32,
+        )
+        logits = xf.astype(jnp.float32) @ router
+        probs = jax.nn.softmax(logits, axis=-1)  # (S, E)
+
+        # top-k by iterative masking (k is 1 or 2 in practice; a python
+        # loop of one-hots beats a sort on the VPU and keeps shapes static)
+        masks, gates = [], []
+        p = probs
+        for _ in range(k):
+            idx = jnp.argmax(p, axis=-1)
+            m = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # (S, E)
+            gates.append(jnp.sum(probs * m, axis=-1))  # raw prob of choice
+            masks.append(m)
+            p = p * (1.0 - m)
+
+        # Switch load-balancing loss on the FIRST choice: E · Σ_e f_e P_e,
+        # minimized (=1) at a uniform token->expert split
+        f_e = jnp.mean(masks[0], axis=0)
+        P_e = jnp.mean(probs, axis=0)
+        self.sow("intermediates", "moe_aux_loss", E * jnp.sum(f_e * P_e))
+
+        if k > 1:
+            denom = sum(gates) + 1e-9
+            gates = [g / denom for g in gates]
+
+        # --- capacity assignment -------------------------------------------
+        # position of each token within its expert's buffer; later choices
+        # queue behind all earlier choices' tokens
+        counts = jnp.zeros((E,), jnp.float32)
+        dispatch = jnp.zeros((S, E, C), self.dtype)
+        combine = jnp.zeros((S, E, C), self.dtype)
+        for j in range(k):
+            m = masks[j]
+            pos = jnp.cumsum(m, axis=0) - m + counts[None, :]  # (S, E)
+            counts = counts + jnp.sum(m, axis=0)
+            keep = m * (pos < C)  # drop overflow
+            pos_i = jnp.sum(pos * keep, axis=-1).astype(jnp.int32)  # (S,)
+            slot = jax.nn.one_hot(pos_i, C, dtype=jnp.float32)  # (S, C)
+            d_j = keep[:, :, None] * slot[:, None, :]  # (S, E, C)
+            dispatch = dispatch + d_j.astype(self.dtype)
+            combine = combine + (gates[j][:, None, None] * d_j).astype(self.dtype)
+
+        # --- expert compute (MXU) ------------------------------------------
+        H = self.hidden_features
+        xavier = nn.initializers.xavier_uniform
+        wi = self.param(
+            "wi", xavier(in_axis=-2, out_axis=-1, batch_axis=(0,)), (E, D, H), jnp.float32
+        )
+        bi = self.param("bi", nn.initializers.zeros, (E, H), jnp.float32)
+        wo = self.param(
+            "wo",
+            xavier(in_axis=-2, out_axis=-1, batch_axis=(0,)),
+            (E, H, self.out_features),
+            jnp.float32,
+        )
+        bo = self.param("bo", nn.initializers.zeros, (E, self.out_features), jnp.float32)
+
+        def constrain(a):
+            if self.ep_axis is None:
+                return a
+            return jax.lax.with_sharding_constraint(
+                a, P(self.ep_axis, None, None)
+            )
+
+        xin = constrain(
+            jnp.einsum("sec,sd->ecd", dispatch, xf.astype(self.dtype))
+        )
+        h = jnp.einsum("ecd,edh->ech", xin, wi.astype(self.dtype))
+        h = nn.gelu(h + bi[:, None, :].astype(self.dtype), approximate=True)
+        out = jnp.einsum("ech,eho->eco", h, wo.astype(self.dtype))
+        out = constrain(out + bo[:, None, :].astype(self.dtype))
+
+        y = jnp.einsum("sec,eco->so", combine, out)
+        return y.reshape(B, N, self.out_features)

@@ -65,6 +65,13 @@ def get_models(args):
         common["gradient_checkpointing"] = True
         if getattr(args, "remat_policy", None):
             common["remat_policy"] = str(args.remat_policy)
+    if getattr(args, "moe_experts", 0):
+        # Mixture-of-Experts FF (models/moe.py) — beyond-reference scaling
+        common["moe_experts"] = int(args.moe_experts)
+        if getattr(args, "moe_top_k", None):
+            common["moe_top_k"] = int(args.moe_top_k)
+        if getattr(args, "moe_capacity_factor", None):
+            common["moe_capacity_factor"] = float(args.moe_capacity_factor)
     name = args.model
     if name in LatteIMG_models:
         common["use_image_num"] = int(getattr(args, "use_image_num", 0))

@@ -42,6 +42,7 @@ def make_train_step(
     fixed_spatial: bool = False,
     apply_fn: Optional[Callable] = None,
     grad_accum: int = 1,
+    moe_aux_weight: float = 0.0,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict]]:
     """Build the jittable train step.
 
@@ -104,7 +105,25 @@ def make_train_step(
             model_kwargs["text_embedding"] = batch["text_embedding"]
 
         def loss_fn(params):
+            # MoE models sow their load-balancing losses under
+            # "intermediates" (models/moe.py); training_losses calls the
+            # model exactly once in the hybrid path, so collecting the
+            # sown tracers in a box is sound
+            aux_box = []
+
             def model_fn(x, tt, **kw):
+                if moe_aux_weight > 0.0:
+                    out, mut = apply_fn(
+                        {"params": params},
+                        x,
+                        tt,
+                        train=True,
+                        rngs={"label_dropout": rng_drop},
+                        mutable=["intermediates"],
+                        **kw,
+                    )
+                    aux_box.extend(jax.tree_util.tree_leaves(mut))
+                    return out
                 return apply_fn(
                     {"params": params},
                     x,
@@ -121,7 +140,14 @@ def make_train_step(
             if "t_weights" in batch:
                 # importance-sampling correction: E_p[w(t) L(t)] = E_U[L]
                 per_sample = per_sample * batch["t_weights"]
-            return jnp.mean(per_sample), terms
+            loss = jnp.mean(per_sample)
+            if moe_aux_weight > 0.0 and aux_box:
+                # each sown leaf is the per-pair stack from one block
+                # column (spatial/temporal); average to a per-block mean
+                aux = sum(jnp.mean(a) for a in aux_box) / len(aux_box)
+                terms["moe_aux"] = aux
+                loss = loss + moe_aux_weight * aux
+            return loss, terms
 
         (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return loss, terms, t, grads
@@ -155,6 +181,8 @@ def make_train_step(
                 scal = {"loss": loss_k, "mse": jnp.mean(terms_k["mse"])}
                 if "vb" in terms_k:
                     scal["vb"] = jnp.mean(terms_k["vb"])
+                if "moe_aux" in terms_k:
+                    scal["moe_aux"] = terms_k["moe_aux"]
                 return g_acc, (scal, t_k, terms_k["loss"])
 
             g0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
@@ -167,6 +195,8 @@ def make_train_step(
             terms = {"mse": scals["mse"], "loss": per_sample_all.reshape(-1)}
             if "vb" in scals:
                 terms["vb"] = scals["vb"]
+            if "moe_aux" in scals:
+                terms["moe_aux"] = scals["moe_aux"]
 
         if fixed_spatial:
             # fine-tune only the temporal attention (reference
@@ -207,6 +237,8 @@ def make_train_step(
         }
         if "vb" in terms:
             metrics["vb"] = jnp.mean(terms["vb"])
+        if "moe_aux" in terms:
+            metrics["moe_aux"] = jnp.mean(terms["moe_aux"])
         if "t" in batch:
             # per-sample feedback for the loss-aware resampler (unweighted
             # losses — the history tracks L(t), not w(t)L(t))

@@ -246,10 +246,24 @@ def main(config: Config, callbacks=None) -> dict:
     tp = int(getattr(config, "tensor_parallel", 1) or 1)
     sp = int(getattr(config, "sequence_parallel", 1) or 1)
     pp = int(getattr(config, "pipeline_parallel", 1) or 1)
-    assert n_dev % (tp * sp * pp) == 0, (
+    ep = int(getattr(config, "expert_parallel", 1) or 1)
+    assert n_dev % (tp * sp * pp * ep) == 0, (
         f"tensor_parallel={tp} x sequence_parallel={sp} x "
-        f"pipeline_parallel={pp} must divide {n_dev} devices"
+        f"pipeline_parallel={pp} x expert_parallel={ep} must divide "
+        f"{n_dev} devices"
     )
+    moe_experts = int(getattr(config, "moe_experts", 0) or 0)
+    if ep > 1:
+        if moe_experts % ep != 0 or moe_experts < ep:
+            raise ValueError(
+                f"expert_parallel={ep} needs moe_experts (got {moe_experts}) "
+                f"divisible by it"
+            )
+        if pp > 1:
+            raise ValueError(
+                "expert_parallel does not compose with pipeline_parallel "
+                "(the pipelined stage shards the pair stack wholesale)"
+            )
     if pp > 1:
         # the pipelined forward shards the pair stack by depth; it covers
         # the Latte/LatteIMG conditioning path and replaces the width/token
@@ -264,8 +278,8 @@ def main(config: Config, callbacks=None) -> dict:
                 "pipeline_parallel already shards the block stack; "
                 "disable fsdp (zero1 moment sharding is compatible)"
             )
-    dp = n_dev // (tp * sp * pp)
-    mesh = make_mesh(MeshConfig(dp=dp, tp=tp, sp=sp, pp=pp))
+    dp = n_dev // (tp * sp * pp * ep)
+    mesh = make_mesh(MeshConfig(dp=dp, tp=tp, sp=sp, pp=pp, ep=ep))
     local_batch = int(getattr(config, "local_batch_size", 5))
     global_batch = local_batch * dp
 
@@ -299,6 +313,7 @@ def main(config: Config, callbacks=None) -> dict:
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from latte_tpu.dist.sharding import (
+        ep_param_shardings,
         fsdp_opt_shardings,
         fsdp_param_shardings,
         param_shardings,
@@ -309,9 +324,13 @@ def main(config: Config, callbacks=None) -> dict:
 
     rep = NamedSharding(mesh, P())
     if fsdp:
+        # with ep > 1 the FSDP rule pins MoE expert axes to "ep" first
         p_shard = fsdp_param_shardings(state_shapes.params, mesh)
     elif pp > 1:
         p_shard = pp_param_shardings(state_shapes.params, mesh)
+    elif ep > 1:
+        # expert weights over ep; non-MoE leaves take the TP rules
+        p_shard = ep_param_shardings(state_shapes.params, mesh)
     elif tp > 1:
         p_shard = param_shardings(state_shapes.params, mesh)
     else:
@@ -321,6 +340,14 @@ def main(config: Config, callbacks=None) -> dict:
     elif pp > 1:
         # moments mirror the depth sharding; zero1 dp-splits the remainder
         opt_shard = pp_param_shardings(state_shapes.opt_state, mesh, zero1=zero1)
+    elif ep > 1:
+        if zero1:
+            raise ValueError(
+                "zero1 + expert_parallel: use fsdp instead (its rule "
+                "composes the ep and dp splits without moment resharding)"
+            )
+        # moments mirror the expert sharding — no resharding per step
+        opt_shard = ep_param_shardings(state_shapes.opt_state, mesh)
     elif zero1:
         opt_shard = zero1_opt_shardings(state_shapes.opt_state, mesh)
     elif tp > 1:
@@ -430,6 +457,10 @@ def main(config: Config, callbacks=None) -> dict:
         # sequence-parallel activations; model.init above ran without the
         # sharding constraints (with_sharding_constraint needs a mesh context)
         model = model.clone(activation_sharding=("dp", "sp"))
+    if ep > 1:
+        # pin the expert-major intermediates to the ep axis inside the
+        # jitted step (init above ran constraint-free, same as sp)
+        model = model.clone(moe_ep_axis="ep")
     grad_accum = int(getattr(config, "gradient_accumulation_steps", 1) or 1)
     if grad_accum > 1:
         # per-chunk batches must still split evenly over dp
@@ -470,6 +501,13 @@ def main(config: Config, callbacks=None) -> dict:
         fixed_spatial=fixed_spatial,
         apply_fn=apply_fn,
         grad_accum=grad_accum,
+        # MoE load-balancing loss weight (Switch Transformer's 0.01
+        # default); only collectable on the non-pipelined forward
+        moe_aux_weight=(
+            float(getattr(config, "moe_aux_weight", 0.01) or 0.0)
+            if (moe_experts > 1 and pp == 1)
+            else 0.0
+        ),
     )
     jitted_step = jax.jit(train_step, donate_argnums=(0,))
     if encode_params is not None:
