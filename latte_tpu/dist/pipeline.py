@@ -626,6 +626,9 @@ def pipelined_t2v_forward(
         attention_mode=model.attention_mode,
         ff_chunk_size=model.feed_forward_chunk_size,
         quantized=model.quantized,
+        moe_experts=model.moe_experts,
+        moe_top_k=model.moe_top_k,
+        moe_capacity_factor=model.moe_capacity_factor,
         dtype=model.dtype,
     )
 

@@ -52,6 +52,10 @@ class MoEMlp(nn.Module):
         renormalized over the selected experts when ``top_k > 1``.
       capacity_factor: slack over the perfectly-balanced ``S·k/E`` tokens
         per expert.
+      activation_fn: expert nonlinearity — ``"gelu-approximate"`` (tanh
+        gelu, the Latte ``Mlp``/diffusers default) or ``"geglu"`` (the
+        LatteT2V FF: ``wi`` projects to 2H, half gates the other through
+        exact gelu — `models/t2v.py` T2VFeedForward).
       ep_axis: mesh axis name to constrain the expert-major intermediates
         to (``P(ep_axis, None, None)``). ``None`` leaves placement to SPMD
         propagation from the weight shardings — required when jitting
@@ -64,6 +68,7 @@ class MoEMlp(nn.Module):
     top_k: int = 2
     capacity_factor: float = 1.25
     ep_axis: Optional[str] = None
+    activation_fn: str = "gelu-approximate"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -127,11 +132,15 @@ class MoEMlp(nn.Module):
 
         # --- expert compute (MXU) ------------------------------------------
         H = self.hidden_features
+        geglu = self.activation_fn == "geglu"
+        if not geglu and self.activation_fn != "gelu-approximate":
+            raise NotImplementedError(self.activation_fn)
+        Hin = 2 * H if geglu else H  # geglu: value half + gate half
         xavier = nn.initializers.xavier_uniform
         wi = self.param(
-            "wi", xavier(in_axis=-2, out_axis=-1, batch_axis=(0,)), (E, D, H), jnp.float32
+            "wi", xavier(in_axis=-2, out_axis=-1, batch_axis=(0,)), (E, D, Hin), jnp.float32
         )
-        bi = self.param("bi", nn.initializers.zeros, (E, H), jnp.float32)
+        bi = self.param("bi", nn.initializers.zeros, (E, Hin), jnp.float32)
         wo = self.param(
             "wo",
             xavier(in_axis=-2, out_axis=-1, batch_axis=(0,)),
@@ -151,7 +160,12 @@ class MoEMlp(nn.Module):
             jnp.einsum("sec,sd->ecd", dispatch, xf.astype(self.dtype))
         )
         h = jnp.einsum("ecd,edh->ech", xin, wi.astype(self.dtype))
-        h = nn.gelu(h + bi[:, None, :].astype(self.dtype), approximate=True)
+        h = h + bi[:, None, :].astype(self.dtype)
+        if geglu:
+            h, gate = jnp.split(h, 2, axis=-1)
+            h = h * nn.gelu(gate, approximate=False)
+        else:
+            h = nn.gelu(h, approximate=True)
         out = jnp.einsum("ech,eho->eco", h, wo.astype(self.dtype))
         out = constrain(out + bo[:, None, :].astype(self.dtype))
 

@@ -192,6 +192,10 @@ class T2VSpatialBlock(nn.Module):
     quantized: bool = False
     ring_mesh: Optional[object] = None
     ring_axis: str = "sp"
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_ep_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -236,11 +240,29 @@ class T2VSpatialBlock(nn.Module):
             epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm3"
         )(x)
         h = h * (1 + scale_mlp) + shift_mlp
-        x = x + gate_mlp * T2VFeedForward(
-            dim=self.dim, activation_fn=self.activation_fn,
-            chunk_size=self.ff_chunk_size, quantized=self.quantized,
-            dtype=self.dtype, name="ff"
-        )(h)
+        if self.moe_experts > 1:
+            from latte_tpu.models.moe import MoEMlp
+
+            # MoE replaces ff_chunk_size outright: static expert capacity
+            # already bounds the live 4×D activation
+            ff = MoEMlp(
+                hidden_features=self.dim * 4,
+                out_features=self.dim,
+                num_experts=self.moe_experts,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                ep_axis=self.moe_ep_axis,
+                activation_fn=self.activation_fn,
+                dtype=self.dtype,
+                name="moe",
+            )
+        else:
+            ff = T2VFeedForward(
+                dim=self.dim, activation_fn=self.activation_fn,
+                chunk_size=self.ff_chunk_size, quantized=self.quantized,
+                dtype=self.dtype, name="ff"
+            )
+        x = x + gate_mlp * ff(h)
         return x
 
 
@@ -256,6 +278,10 @@ class T2VTemporalBlock(nn.Module):
     quantized: bool = False
     ring_mesh: Optional[object] = None
     ring_axis: str = "sp"
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_ep_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -290,11 +316,27 @@ class T2VTemporalBlock(nn.Module):
             epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm3"
         )(x)
         h = h * (1 + scale_mlp) + shift_mlp
-        x = x + gate_mlp * T2VFeedForward(
-            dim=self.dim, activation_fn=self.activation_fn,
-            chunk_size=self.ff_chunk_size, quantized=self.quantized,
-            dtype=self.dtype, name="ff"
-        )(h)
+        if self.moe_experts > 1:
+            from latte_tpu.models.moe import MoEMlp
+
+            ff = MoEMlp(
+                hidden_features=self.dim * 4,
+                out_features=self.dim,
+                num_experts=self.moe_experts,
+                top_k=self.moe_top_k,
+                capacity_factor=self.moe_capacity_factor,
+                ep_axis=self.moe_ep_axis,
+                activation_fn=self.activation_fn,
+                dtype=self.dtype,
+                name="moe",
+            )
+        else:
+            ff = T2VFeedForward(
+                dim=self.dim, activation_fn=self.activation_fn,
+                chunk_size=self.ff_chunk_size, quantized=self.quantized,
+                dtype=self.dtype, name="ff"
+            )
+        x = x + gate_mlp * ff(h)
         return x
 
 
@@ -347,6 +389,10 @@ class T2VPair(nn.Module):
     quantized: bool = False
     ring_mesh: Optional[object] = None
     ring_axis: str = "sp"
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_ep_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -356,6 +402,12 @@ class T2VPair(nn.Module):
         BF, T, D = x.shape
         B = t_temp.shape[0] // T
 
+        moe_kw = dict(
+            moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_ep_axis=self.moe_ep_axis,
+        )
         x = T2VSpatialBlock(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -368,6 +420,7 @@ class T2VPair(nn.Module):
             ring_axis=self.ring_axis,
             dtype=self.dtype,
             name="spatial",
+            **moe_kw,
         )(x, t_spatial, context_sp, ctx_bias)
 
         if self.enable_temporal_attentions:
@@ -391,6 +444,7 @@ class T2VPair(nn.Module):
                 ring_axis=self.ring_axis,
                 dtype=self.dtype,
                 name="temporal",
+                **moe_kw,
             )(x_video, t_temp)
             x = jnp.concatenate([x_video, x_image], axis=1)
             x = x.reshape(B, T, Ftot, D).transpose(0, 2, 1, 3).reshape(B * Ftot, T, D)
@@ -424,6 +478,13 @@ class LatteT2V(nn.Module):
     # ring_axis of ring_mesh (cross-attention stays local)
     ring_mesh: Optional[object] = None
     ring_axis: str = "sp"
+    # Mixture-of-Experts FF (models/moe.py): >1 swaps each block's FF for
+    # E expert FFs (same activation_fn incl. geglu) + a top-k router;
+    # expert weights shard over the mesh "ep" axis (moe_ep_axis)
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_ep_axis: Optional[str] = None
     gradient_checkpointing: bool = False
     # remat policy when gradient_checkpointing: "full" | "dots"
     remat_policy: str = "full"
@@ -501,7 +562,9 @@ class LatteT2V(nn.Module):
             pair_cls = nn.remat(pair_cls, prevent_cse=False, **kw_remat)
         PairScan = nn.scan(
             pair_cls,
-            variable_axes={"params": 0},
+            # "intermediates" stacks the sown MoE aux losses per pair (a
+            # no-op unless applied with mutable=["intermediates"])
+            variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, 0),
             length=n_pairs,
@@ -520,6 +583,10 @@ class LatteT2V(nn.Module):
             quantized=self.quantized,
             ring_mesh=self.ring_mesh,
             ring_axis=self.ring_axis,
+            moe_experts=self.moe_experts,
+            moe_top_k=self.moe_top_k,
+            moe_capacity_factor=self.moe_capacity_factor,
+            moe_ep_axis=self.moe_ep_axis,
             dtype=self.dtype,
             name="blocks",
         )(x, (t_spatial, t_temp, ctx_sp, ctx_bias, temp_pos_embed), is_first)

@@ -54,6 +54,13 @@ def build_transformer(config, logger):
         ),
         attention_mode="auto" if on_tpu else "xla",
         unroll_blocks=on_tpu,
+        # MoE serving (models/moe.py): checkpoints trained with
+        # moe_experts carry expert-stacked FF weights
+        moe_experts=int(getattr(config, "moe_experts", 0) or 0),
+        moe_top_k=int(getattr(config, "moe_top_k", 2) or 2),
+        moe_capacity_factor=float(
+            getattr(config, "moe_capacity_factor", 1.25) or 1.25
+        ),
         dtype=dtype,
     )
     ckpt = getattr(config, "ckpt", None)

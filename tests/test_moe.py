@@ -302,3 +302,54 @@ class TestExpertParallel:
         )
         err = capfd.readouterr().err
         assert "Involuntary full rematerialization" not in err, err[-3000:]
+
+
+class TestMoET2V:
+    def test_geglu_single_expert_matches_t2v_ff(self):
+        """E=1 geglu MoE must reproduce T2VFeedForward(geglu) with the
+        same weights (net_0_proj -> wi, net_2 -> wo)."""
+        from latte_tpu.models.t2v import T2VFeedForward
+
+        D = 8
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, D))
+        ff = T2VFeedForward(dim=D, activation_fn="geglu")
+        fp = ff.init(jax.random.PRNGKey(1), x)["params"]
+        moe_params = {
+            "router": jnp.zeros((D, 1)),
+            "wi": fp["net_0_proj"]["kernel"][None],
+            "bi": fp["net_0_proj"]["bias"][None],
+            "wo": fp["net_2"]["kernel"][None],
+            "bo": fp["net_2"]["bias"][None],
+        }
+        m = MoEMlp(hidden_features=D * 4, out_features=D, num_experts=1,
+                   top_k=1, capacity_factor=1.0, activation_fn="geglu")
+        out = m.apply({"params": moe_params}, x)
+        ref = ff.apply({"params": fp}, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_latte_t2v_moe_forward_and_aux(self):
+        """LatteT2V with moe_experts: geglu expert FFs in both block
+        columns, aux losses sown per scanned pair, plain apply clean."""
+        from latte_tpu.models.t2v import LatteT2V
+
+        model = LatteT2V(
+            num_attention_heads=2, attention_head_dim=8, num_layers=2,
+            patch_size=2, sample_size=8, cross_attention_dim=16,
+            caption_channels=12, video_length=2, activation_fn="geglu",
+            attention_mode="xla", moe_experts=4, moe_top_k=2,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 2, 16, 16))
+        t = jnp.zeros((1,), jnp.int32)
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 12))
+        v = model.init({"params": jax.random.PRNGKey(2)}, x, t, ctx)
+        out, mut = model.apply(v, x, t, ctx, mutable=["intermediates"])
+        assert out.shape == (1, 8, 2, 16, 16)
+        assert np.isfinite(np.asarray(out)).all()
+        aux = mut["intermediates"]["blocks"]["spatial"]["moe"]["moe_aux_loss"][0]
+        assert aux.shape == (2,)
+        # geglu experts: wi projects to 2*(4D) per expert
+        wi = v["params"]["blocks"]["spatial"]["moe"]["wi"]
+        assert wi.shape == (2, 4, 16, 2 * 64), wi.shape
+        # plain apply (serving path) needs no mutable plumbing
+        out2 = model.apply(v, x, t, ctx)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
