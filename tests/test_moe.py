@@ -353,3 +353,62 @@ class TestMoET2V:
         # plain apply (serving path) needs no mutable plumbing
         out2 = model.apply(v, x, t, ctx)
         np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+
+
+class TestEpShardingRules:
+    """Spec-level checks of ep_param_shardings and its FSDP composition
+    (no compile — runs on abstract shapes)."""
+
+    def _param_shapes(self):
+        from latte_tpu.models import Latte
+
+        model = Latte(
+            input_size=8, patch_size=2, hidden_size=32, depth=4,
+            num_heads=2, num_frames=2, extras=1, attention_mode="xla",
+            moe_experts=4, moe_top_k=2,
+        )
+        x = jnp.zeros((1, 2, 4, 8, 8))
+        t = jnp.zeros((1,), jnp.int32)
+        return jax.eval_shape(
+            lambda: model.init({"params": jax.random.PRNGKey(0)}, x, t)
+        )["params"]
+
+    def test_ep_rule_shards_expert_axis_only(self):
+        from jax.sharding import PartitionSpec as P
+
+        from latte_tpu.dist.mesh import MeshConfig, make_mesh
+        from latte_tpu.dist.sharding import ep_param_shardings
+
+        mesh = make_mesh(MeshConfig(dp=2, ep=4))
+        shardings = ep_param_shardings(self._param_shapes(), mesh)
+        moe = shardings["blocks"]["spatial"]["moe"]
+        # scanned stack prepends n_pairs: expert axis is 1 (trailing
+        # dims unsharded)
+        for name in ("wi", "wo", "bi"):
+            spec = tuple(moe[name].spec)
+            assert spec[1] == "ep" and all(
+                s is None for i, s in enumerate(spec) if i != 1
+            ), (name, spec)
+        # router is tiny and NOT expert-stacked — replicated
+        assert moe["router"].spec == P()
+        # non-MoE block weights keep their usual (here: replicated) spec
+        assert "ep" not in jax.tree_util.tree_leaves(
+            [shardings["blocks"]["spatial"]["attn"]["qkv"]["kernel"].spec]
+        )
+
+    def test_fsdp_rule_composes_ep_then_dp(self):
+        from latte_tpu.dist.mesh import MeshConfig, make_mesh
+        from latte_tpu.dist.sharding import fsdp_param_shardings
+
+        mesh = make_mesh(MeshConfig(dp=4, ep=2))
+        shardings = fsdp_param_shardings(self._param_shapes(), mesh)
+        moe = shardings["blocks"]["spatial"]["moe"]
+        # expert axis pinned to ep FIRST, then the largest remaining
+        # dp-divisible axis takes dp — full 2-axis weight sharding
+        wi_spec = tuple(moe["wi"].spec)
+        assert wi_spec[1] == "ep", wi_spec
+        assert "dp" in wi_spec, wi_spec
+        # without an ep axis on the mesh the same rule must not emit "ep"
+        mesh_dp = make_mesh(MeshConfig(dp=8))
+        sh_dp = fsdp_param_shardings(self._param_shapes(), mesh_dp)
+        assert "ep" not in tuple(sh_dp["blocks"]["spatial"]["moe"]["wi"].spec)
