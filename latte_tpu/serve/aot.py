@@ -1,0 +1,166 @@
+"""Ahead-of-time compiled serving artifacts (`jax.export` / StableHLO).
+
+A production-serving capability beyond the reference (whose serving path
+re-traces the model in every Python process —
+`/root/reference/sample/sample.py:39-126`): the entire denoising
+trajectory — model forward, CFG split, scheduler algebra, the full
+`lax.scan` over timesteps — is exported ONCE to a serialized StableHLO
+artifact. A serving host then needs only the artifact plus an orbax
+weight checkpoint: no model code, no config parsing, no Python-side
+retracing — `deserialize(blob).call(params, z, y, rng)`.
+
+Why this is the TPU-native shape of "deployment":
+
+- StableHLO is XLA's stable, versioned exchange format; an artifact
+  exported on a CPU build machine lowers for TPU (``platforms`` carries
+  multi-platform lowerings in one blob) and compiles on the serving
+  fleet's first call, after which XLA's persistent compilation cache
+  makes restarts free.
+- Weights stay OUT of the artifact: ``params`` is a call argument, so
+  one artifact serves every checkpoint of the same architecture, and the
+  serialized blob stays ~MBs (HLO only, no GBs of constants baked in —
+  the same rule the driver entry point follows).
+- The artifact pins the calling convention: shapes, dtypes, and the
+  in/out shardings it was exported under. `jax.export` refuses a
+  mismatched call instead of silently recompiling something else.
+
+Artifact layout: a single file — 8-byte magic ``LTPUAOT1``, a
+varint-free 4-byte little-endian header-length, a JSON header (model
+name, shapes, sample method, CFG, creation metadata), then the
+`jax.export` serialization bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+AOT_SUFFIX = ".ltpu-aot"
+_MAGIC = b"LTPUAOT1"
+
+
+def _build_sample_impl(model, config, diffusion):
+    """(params, z, y, rng) -> final latents; mirrors
+    `sample/sample.py build_sample_fn` with loop="scan" (the only mode
+    that makes sense AOT — the trajectory must live inside the program).
+    """
+    from latte_tpu.core.samplers import ddim_sample_loop, p_sample_loop
+
+    use_cfg = (
+        int(getattr(config, "extras", 1)) == 2
+        and float(getattr(config, "cfg_scale", 1.0)) > 1.0
+    )
+    sample_method = str(getattr(config, "sample_method", "ddpm")).lower()
+
+    def model_apply(p, x, t, **kw):
+        if use_cfg:
+            return model.apply(
+                p, x, t, cfg_scale=float(config.cfg_scale),
+                method=model.forward_with_cfg, **kw,
+            )
+        return model.apply(p, x, t, **kw)
+
+    loop_fn = ddim_sample_loop if sample_method == "ddim" else p_sample_loop
+
+    def sample_impl(p, z, y, rng):
+        kwargs = {"y": y} if y is not None else {}
+        return loop_fn(
+            diffusion, None, z, rng=rng, model_kwargs=kwargs,
+            loop="scan", params=p, model_apply=model_apply,
+        )
+
+    return sample_impl, use_cfg
+
+
+def export_sampler(
+    model,
+    config,
+    diffusion,
+    params: Any,
+    *,
+    batch: int = 1,
+    platforms: Optional[Sequence[str]] = None,
+) -> Tuple[jax_export.Exported, dict]:
+    """Export the full sampling trajectory for ``model`` as StableHLO.
+
+    ``params`` may be real weights or a `jax.eval_shape` pytree — only
+    shapes/dtypes matter. ``platforms`` defaults to ("tpu", "cpu"): the
+    artifact carries both lowerings, so the same blob serves the TPU
+    fleet and runs in CPU CI.
+
+    Returns (Exported, header_dict).
+    """
+    extras = int(getattr(config, "extras", 1))
+    frames = int(getattr(config, "num_frames", 16))
+    latent = int(getattr(config, "image_size", 256)) // 8
+    in_ch = int(getattr(config, "in_channels", 4))
+
+    sample_impl, use_cfg = _build_sample_impl(model, config, diffusion)
+
+    z_spec = jax.ShapeDtypeStruct((batch, frames, in_ch, latent, latent), jnp.float32)
+    y_spec = jax.ShapeDtypeStruct((batch,), jnp.int32) if extras == 2 else None
+    rng_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    p_spec = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params
+    )
+
+    if y_spec is None:
+        fn = lambda p, z, rng: sample_impl(p, z, None, rng)
+        args = (p_spec, z_spec, rng_spec)
+    else:
+        fn = sample_impl
+        args = (p_spec, z_spec, y_spec, rng_spec)
+
+    exported = jax_export.export(
+        jax.jit(fn), platforms=tuple(platforms or ("tpu", "cpu"))
+    )(*args)
+
+    header = {
+        "model": str(getattr(config, "model", model.__class__.__name__)),
+        "sample_method": str(getattr(config, "sample_method", "ddpm")),
+        "num_sampling_steps": int(getattr(config, "num_sampling_steps", 250)),
+        "cfg": bool(use_cfg),
+        "extras": extras,
+        "batch": batch,
+        "z_shape": list(z_spec.shape),
+        "takes_y": y_spec is not None,
+        "platforms": list(exported.platforms),
+    }
+    return exported, header
+
+
+def save_sampler(path: str, exported: jax_export.Exported, header: dict) -> str:
+    """Write the artifact: magic | u32 header_len | JSON header | blob."""
+    hdr = json.dumps(header, sort_keys=True).encode("utf-8")
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(hdr)))
+        f.write(hdr)
+        f.write(blob)
+    return path
+
+
+def load_sampler(path: str):
+    """Read an artifact; returns (call_fn, header).
+
+    ``call_fn(params, z[, y], rng)`` executes the exported trajectory on
+    the ambient backend (must be one of the artifact's platforms).
+    """
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path}: not a latte-tpu AOT artifact")
+        (hlen,) = struct.unpack("<I", f.read(4))
+        header = json.loads(f.read(hlen).decode("utf-8"))
+        exported = jax_export.deserialize(f.read())
+
+    def call(params, *rest):
+        return exported.call(params, *rest)
+
+    return call, header

@@ -1,0 +1,75 @@
+"""CLI: build an AOT serving artifact from a sampling config.
+
+Usage::
+
+    python -m latte_tpu.serve.export_aot --config configs/ffs/ffs_sample.yaml \
+        --out ffs_xl.ltpu-aot [--batch 4] [--platforms tpu,cpu] [key=value ...]
+
+Weights are NOT embedded (see `latte_tpu/serve/aot.py`): if ``ckpt`` is
+set in the config the checkpoint is only read for shapes/dtypes; without
+one, shapes come from `jax.eval_shape` of the model init — either way the
+export itself never materializes weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from latte_tpu.config import load_config
+from latte_tpu.core.diffusion import create_diffusion
+from latte_tpu.models import get_models
+from latte_tpu.serve.aot import AOT_SUFFIX, export_sampler, save_sampler
+from latte_tpu.utils import create_logger
+
+
+def main(config, out: str, batch: int = 1, platforms=None) -> str:
+    logger = create_logger(None)
+    model = get_models(config)
+    frames = int(getattr(config, "num_frames", 16))
+    latent = int(getattr(config, "image_size", 256)) // 8
+    extras = int(getattr(config, "extras", 1))
+
+    x = jnp.zeros((1, frames, 4, latent, latent), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    init_kw = {"y": jnp.zeros((1,), jnp.int32)} if extras == 2 else {}
+    rngs = {"params": jax.random.PRNGKey(0)}
+    if extras == 2:
+        rngs["label_dropout"] = jax.random.PRNGKey(1)
+    params_shapes = jax.eval_shape(lambda: model.init(rngs, x, t, **init_kw))
+
+    diffusion = create_diffusion(
+        str(getattr(config, "num_sampling_steps", 250)),
+        diffusion_steps=int(getattr(config, "diffusion_steps", 1000)),
+    )
+    exported, header = export_sampler(
+        model, config, diffusion, params_shapes, batch=batch,
+        platforms=platforms,
+    )
+    if not out.endswith(AOT_SUFFIX):
+        out += AOT_SUFFIX
+    save_sampler(out, exported, header)
+    logger.info(f"exported {header['model']} sampler -> {out} ({header})")
+    return out
+
+
+def cli():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--platforms", default="tpu,cpu")
+    p.add_argument("overrides", nargs="*")
+    a = p.parse_args()
+    main(
+        load_config(a.config, a.overrides),
+        a.out,
+        batch=a.batch,
+        platforms=[s.strip() for s in a.platforms.split(",") if s.strip()],
+    )
+
+
+if __name__ == "__main__":
+    cli()

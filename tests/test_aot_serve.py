@@ -1,0 +1,129 @@
+"""AOT serving artifacts (`latte_tpu/serve/aot.py`).
+
+The exported StableHLO sampler must reproduce the live jitted sampler
+bit-for-bit (same program, same RNG), survive a file roundtrip, and pin
+its calling convention (shape mismatch refused). Beyond-reference
+capability — the reference re-traces per process
+(`/root/reference/sample/sample.py:39-126`).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from latte_tpu.config.loader import Config
+from latte_tpu.core.diffusion import create_diffusion
+from latte_tpu.models import get_model
+from latte_tpu.serve.aot import (
+    _build_sample_impl,
+    export_sampler,
+    load_sampler,
+    save_sampler,
+)
+
+
+def _tiny(extras=1):
+    cfg = Config(
+        {
+            "model": "Latte-S/2",
+            "extras": extras,
+            "num_frames": 2,
+            "image_size": 16,
+            "sample_method": "ddim",
+            "num_sampling_steps": 4,
+            "cfg_scale": 2.0 if extras == 2 else 1.0,
+        }
+    )
+    model = get_model(
+        "Latte-S/2",
+        input_size=2,
+        num_frames=2,
+        extras=extras,
+        num_classes=10,
+        attention_mode="xla",
+        hidden_size=32,
+        depth=4,
+        num_heads=2,
+        patch_size=1,
+    )
+    diffusion = create_diffusion("4", diffusion_steps=40)
+    x = jnp.zeros((1, 2, 4, 2, 2))
+    rngs = {"params": jax.random.PRNGKey(0)}
+    kw = {}
+    if extras == 2:
+        rngs["label_dropout"] = jax.random.PRNGKey(1)
+        kw["y"] = jnp.zeros((1,), jnp.int32)
+    params = model.init(rngs, x, jnp.zeros((1,), jnp.int32), **kw)
+    return cfg, model, diffusion, params
+
+
+class TestAotRoundtrip:
+    def test_unconditional_matches_live_sampler(self, tmp_path):
+        cfg, model, diffusion, params = _tiny(extras=1)
+        # image_size drives z_shape inside export_sampler: 16//8 = 2
+        exported, header = export_sampler(
+            model, cfg, diffusion, params, platforms=("cpu",)
+        )
+        path = save_sampler(str(tmp_path / "uncond.ltpu-aot"), exported, header)
+        call, hdr = load_sampler(path)
+        assert hdr["takes_y"] is False and hdr["cfg"] is False
+
+        z = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 4, 2, 2))
+        rng = jax.random.PRNGKey(7)
+        got = call(params, z, rng)
+
+        sample_impl, _ = _build_sample_impl(model, cfg, diffusion)
+        want = jax.jit(lambda p, zz, r: sample_impl(p, zz, None, r))(
+            params, z, rng
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_class_conditional_cfg(self, tmp_path):
+        cfg, model, diffusion, params = _tiny(extras=2)
+        exported, header = export_sampler(
+            model, cfg, diffusion, params, batch=2, platforms=("cpu",)
+        )
+        path = save_sampler(str(tmp_path / "cfg.ltpu-aot"), exported, header)
+        call, hdr = load_sampler(path)
+        assert hdr["takes_y"] is True and hdr["cfg"] is True
+
+        z = jax.random.normal(jax.random.PRNGKey(3), (2, 2, 4, 2, 2))
+        y = jnp.array([1, 4], jnp.int32)
+        rng = jax.random.PRNGKey(7)
+        got = call(params, z, y, rng)
+
+        sample_impl, use_cfg = _build_sample_impl(model, cfg, diffusion)
+        assert use_cfg
+        want = jax.jit(sample_impl)(params, z, y, rng)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_calling_convention_pinned(self, tmp_path):
+        cfg, model, diffusion, params = _tiny(extras=1)
+        exported, header = export_sampler(
+            model, cfg, diffusion, params, platforms=("cpu",)
+        )
+        path = save_sampler(str(tmp_path / "pin.ltpu-aot"), exported, header)
+        call, _ = load_sampler(path)
+        bad_z = jnp.zeros((2, 2, 4, 2, 2))  # exported batch was 1
+        with pytest.raises(Exception):
+            call(params, bad_z, jax.random.PRNGKey(0))
+
+    def test_magic_rejected(self, tmp_path):
+        p = tmp_path / "junk.ltpu-aot"
+        p.write_bytes(b"NOTANART" + b"\x00" * 16)
+        with pytest.raises(ValueError, match="not a latte-tpu AOT artifact"):
+            load_sampler(str(p))
+
+    def test_tpu_lowering_from_cpu_host(self, tmp_path):
+        """The default platforms=("tpu","cpu") must export on a CPU-only
+        host (cross-platform lowering; compile happens on the fleet)."""
+        cfg, model, diffusion, params = _tiny(extras=1)
+        exported, header = export_sampler(model, cfg, diffusion, params)
+        assert set(header["platforms"]) == {"tpu", "cpu"}
+        path = save_sampler(str(tmp_path / "xplat.ltpu-aot"), exported, header)
+        call, _ = load_sampler(path)
+        z = jnp.zeros((1, 2, 4, 2, 2))
+        out = call(params, z, jax.random.PRNGKey(0))  # runs via the cpu lowering
+        assert np.isfinite(np.asarray(out)).all()
