@@ -70,7 +70,30 @@ def build_sample_fn(model, params, config, diffusion):
     # over device arrays bakes them into the HLO. Host mode manages its own
     # per-step jit; jitting the outer fn would re-introduce the nested
     # while-loop.
-    if loop_mode == "host":
+    tp = int(getattr(config, "tensor_parallel", 1) or 1)
+    if tp > 1:
+        # Tensor-parallel serving: Megatron param rules split attention
+        # heads / MLP columns over the first `tp` chips and GSPMD inserts
+        # the per-block psums — latency scaling for a single sample (the
+        # throughput knob is sample_many's dp mesh). z/y replicate (the
+        # serving batch is 1–2 with CFG).
+        if loop_mode == "host":
+            raise ValueError("tensor_parallel serving requires loop_mode=scan")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from latte_tpu.dist.mesh import MeshConfig, make_mesh
+        from latte_tpu.dist.sharding import param_shardings
+
+        n_dev = len(jax.devices())
+        if n_dev < tp:
+            raise ValueError(f"tensor_parallel={tp} needs {tp} devices, have {n_dev}")
+        mesh = make_mesh(MeshConfig(dp=1, tp=tp), devices=jax.devices()[:tp])
+        p_shard = param_shardings(params, mesh)
+        params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+        rep = NamedSharding(mesh, P())
+        jitted = jax.jit(sample_impl, in_shardings=(p_shard, rep, rep, None))
+        fn = lambda z, y, rng: jitted(params, z, y, rng)
+    elif loop_mode == "host":
         fn = lambda z, y, rng: sample_impl(params, z, y, rng)
     else:
         jitted = jax.jit(sample_impl)
