@@ -268,6 +268,14 @@ class AdaLNBlock(nn.Module):
         if self.moe_experts > 1:
             from latte_tpu.models.moe import MoEMlp
 
+            if self.quantized:
+                # no int8 path for the expert einsums yet — erroring beats
+                # silently serving/QAT-training a full-precision FF that
+                # diverges from the promised quantized arithmetic
+                raise NotImplementedError(
+                    "quantized (W8A8/QAT) + moe_experts is not supported: "
+                    "MoEMlp has no int8 expert path"
+                )
             ff = MoEMlp(
                 hidden_features=int(self.hidden_size * self.mlp_ratio),
                 out_features=self.hidden_size,

@@ -17,10 +17,14 @@ TPU-native shape of the idea (GShard/Switch dispatch, all static shapes):
   expert parallelism is just ``PartitionSpec("ep", ...)`` on that axis;
   with tokens dp-sharded and experts ep-sharded, GSPMD inserts the
   all-to-all pair around the expert compute automatically.
-- Capacity ``C = ceil(S·k/E · capacity_factor)`` is static from the token
-  count; overflow tokens are dropped (their FF contribution is zero and
-  the residual connection passes them through) — the standard
-  Switch-Transformer semantics, and the price of static shapes.
+- Dispatch is GROUPED (GShard): tokens are chunked into groups of
+  ``group_size`` and capacity is allocated PER GROUP,
+  ``C = ceil(g·k/E · capacity_factor)``, so the dispatch tensors are
+  ``(G, g, E, C)`` — O(S · g·k·cf) memory, linear in the token count —
+  instead of a global ``(S, E, S·k·cf/E)`` which is quadratic and OOMs
+  at video token counts. Overflow tokens within a group are dropped
+  (their FF contribution is zero and the residual passes them through) —
+  the standard Switch/GShard semantics, and the price of static shapes.
 
 The router computes in fp32 regardless of model dtype (softmax over
 logits is precision-sensitive); the Switch load-balancing auxiliary loss
@@ -50,8 +54,13 @@ class MoEMlp(nn.Module):
         pin equivalence with ``Mlp``.
       top_k: experts per token (1 = Switch, 2 = GShard default). Gates are
         renormalized over the selected experts when ``top_k > 1``.
-      capacity_factor: slack over the perfectly-balanced ``S·k/E`` tokens
-        per expert.
+      capacity_factor: slack over the perfectly-balanced ``g·k/E`` tokens
+        per expert per group.
+      group_size: tokens per dispatch group (GShard grouping). The
+        effective group is the largest divisor of S not exceeding this;
+        tiny inputs (S <= group_size) route as one global group. Larger
+        groups = looser local-balance requirement but more dispatch
+        memory (O(S · g · k · capacity_factor)).
       activation_fn: expert nonlinearity — ``"gelu-approximate"`` (tanh
         gelu, the Latte ``Mlp``/diffusers default) or ``"geglu"`` (the
         LatteT2V FF: ``wi`` projects to 2H, half gates the other through
@@ -69,6 +78,7 @@ class MoEMlp(nn.Module):
     capacity_factor: float = 1.25
     ep_axis: Optional[str] = None
     activation_fn: str = "gelu-approximate"
+    group_size: int = 512
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -77,8 +87,15 @@ class MoEMlp(nn.Module):
         S = B * N
         E = self.num_experts
         k = min(self.top_k, E)
-        C = max(1, int(math.ceil(S * k * self.capacity_factor / E)))
-        C = min(C, S)  # an expert can never receive more than every token
+        # GShard grouping: largest divisor of S within group_size (all
+        # static — S is a trace-time constant; B·N is 2^a·small in
+        # practice so this terminates immediately)
+        g = min(self.group_size, S)
+        while S % g:
+            g -= 1
+        G = S // g
+        C = max(1, int(math.ceil(g * k * self.capacity_factor / E)))
+        C = min(C, g)  # an expert can never receive more than every token
 
         xf = x.reshape(S, D)
 
@@ -113,22 +130,23 @@ class MoEMlp(nn.Module):
             denom = sum(gates) + 1e-9
             gates = [g / denom for g in gates]
 
-        # --- capacity assignment -------------------------------------------
-        # position of each token within its expert's buffer; later choices
-        # queue behind all earlier choices' tokens
-        counts = jnp.zeros((E,), jnp.float32)
-        dispatch = jnp.zeros((S, E, C), self.dtype)
-        combine = jnp.zeros((S, E, C), self.dtype)
+        # --- capacity assignment (per group) -------------------------------
+        # position of each token within its expert's per-group buffer;
+        # later choices queue behind all earlier choices' tokens
+        counts = jnp.zeros((G, 1, E), jnp.float32)
+        dispatch = jnp.zeros((G, g, E, C), self.dtype)
+        combine = jnp.zeros((G, g, E, C), self.dtype)
         for j in range(k):
-            m = masks[j]
-            pos = jnp.cumsum(m, axis=0) - m + counts[None, :]  # (S, E)
-            counts = counts + jnp.sum(m, axis=0)
+            m = masks[j].reshape(G, g, E)
+            pos = jnp.cumsum(m, axis=1) - m + counts  # (G, g, E)
+            counts = counts + jnp.sum(m, axis=1, keepdims=True)
             keep = m * (pos < C)  # drop overflow
-            pos_i = jnp.sum(pos * keep, axis=-1).astype(jnp.int32)  # (S,)
-            slot = jax.nn.one_hot(pos_i, C, dtype=jnp.float32)  # (S, C)
-            d_j = keep[:, :, None] * slot[:, None, :]  # (S, E, C)
+            pos_i = jnp.sum(pos * keep, axis=-1).astype(jnp.int32)  # (G, g)
+            slot = jax.nn.one_hot(pos_i, C, dtype=jnp.float32)  # (G, g, C)
+            d_j = keep[..., None] * slot[..., None, :]  # (G, g, E, C)
             dispatch = dispatch + d_j.astype(self.dtype)
-            combine = combine + (gates[j][:, None, None] * d_j).astype(self.dtype)
+            gate_j = gates[j].reshape(G, g)
+            combine = combine + (gate_j[..., None, None] * d_j).astype(self.dtype)
 
         # --- expert compute (MXU) ------------------------------------------
         H = self.hidden_features
@@ -150,24 +168,24 @@ class MoEMlp(nn.Module):
         bo = self.param("bo", nn.initializers.zeros, (E, self.out_features), jnp.float32)
 
         def constrain(a):
+            # expert-major intermediates (G, E, C, ·): pin E to the ep axis
             if self.ep_axis is None:
                 return a
             return jax.lax.with_sharding_constraint(
-                a, P(self.ep_axis, None, None)
+                a, P(None, self.ep_axis, None, None)
             )
 
-        xin = constrain(
-            jnp.einsum("sec,sd->ecd", dispatch, xf.astype(self.dtype))
-        )
-        h = jnp.einsum("ecd,edh->ech", xin, wi.astype(self.dtype))
-        h = h + bi[:, None, :].astype(self.dtype)
+        xg = xf.reshape(G, g, D).astype(self.dtype)
+        xin = constrain(jnp.einsum("gsec,gsd->gecd", dispatch, xg))
+        h = jnp.einsum("gecd,edh->gech", xin, wi.astype(self.dtype))
+        h = h + bi[None, :, None, :].astype(self.dtype)
         if geglu:
             h, gate = jnp.split(h, 2, axis=-1)
             h = h * nn.gelu(gate, approximate=False)
         else:
             h = nn.gelu(h, approximate=True)
-        out = jnp.einsum("ech,eho->eco", h, wo.astype(self.dtype))
-        out = constrain(out + bo[:, None, :].astype(self.dtype))
+        out = jnp.einsum("gech,eho->geco", h, wo.astype(self.dtype))
+        out = constrain(out + bo[None, :, None, :].astype(self.dtype))
 
-        y = jnp.einsum("sec,eco->so", combine, out)
+        y = jnp.einsum("gsec,geco->gso", combine, out)
         return y.reshape(B, N, self.out_features)

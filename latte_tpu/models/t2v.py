@@ -102,6 +102,39 @@ class T2VFeedForward(nn.Module):
         )
 
 
+def _make_ff(blk) -> nn.Module:
+    """FF module for a T2V block: MoE expert FFs when moe_experts > 1
+    (MoE replaces ff_chunk_size outright — static expert capacity already
+    bounds the live 4×D activation), the dense T2VFeedForward otherwise.
+    Shared by T2VSpatialBlock and T2VTemporalBlock."""
+    if blk.moe_experts > 1:
+        from latte_tpu.models.moe import MoEMlp
+
+        if blk.quantized:
+            # no int8 path for the expert einsums — fail loudly rather
+            # than silently serving a full-precision FF
+            raise NotImplementedError(
+                "quantized (W8A8/QAT) + moe_experts is not supported: "
+                "MoEMlp has no int8 expert path"
+            )
+        return MoEMlp(
+            hidden_features=blk.dim * 4,
+            out_features=blk.dim,
+            num_experts=blk.moe_experts,
+            top_k=blk.moe_top_k,
+            capacity_factor=blk.moe_capacity_factor,
+            ep_axis=blk.moe_ep_axis,
+            activation_fn=blk.activation_fn,
+            dtype=blk.dtype,
+            name="moe",
+        )
+    return T2VFeedForward(
+        dim=blk.dim, activation_fn=blk.activation_fn,
+        chunk_size=blk.ff_chunk_size, quantized=blk.quantized,
+        dtype=blk.dtype, name="ff"
+    )
+
+
 class MultiHeadCrossAttention(nn.Module):
     """diffusers-style attention: separate q/k/v projections, optional
     cross-attention states and additive key-bias mask."""
@@ -240,29 +273,7 @@ class T2VSpatialBlock(nn.Module):
             epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm3"
         )(x)
         h = h * (1 + scale_mlp) + shift_mlp
-        if self.moe_experts > 1:
-            from latte_tpu.models.moe import MoEMlp
-
-            # MoE replaces ff_chunk_size outright: static expert capacity
-            # already bounds the live 4×D activation
-            ff = MoEMlp(
-                hidden_features=self.dim * 4,
-                out_features=self.dim,
-                num_experts=self.moe_experts,
-                top_k=self.moe_top_k,
-                capacity_factor=self.moe_capacity_factor,
-                ep_axis=self.moe_ep_axis,
-                activation_fn=self.activation_fn,
-                dtype=self.dtype,
-                name="moe",
-            )
-        else:
-            ff = T2VFeedForward(
-                dim=self.dim, activation_fn=self.activation_fn,
-                chunk_size=self.ff_chunk_size, quantized=self.quantized,
-                dtype=self.dtype, name="ff"
-            )
-        x = x + gate_mlp * ff(h)
+        x = x + gate_mlp * _make_ff(self)(h)
         return x
 
 
@@ -316,27 +327,7 @@ class T2VTemporalBlock(nn.Module):
             epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm3"
         )(x)
         h = h * (1 + scale_mlp) + shift_mlp
-        if self.moe_experts > 1:
-            from latte_tpu.models.moe import MoEMlp
-
-            ff = MoEMlp(
-                hidden_features=self.dim * 4,
-                out_features=self.dim,
-                num_experts=self.moe_experts,
-                top_k=self.moe_top_k,
-                capacity_factor=self.moe_capacity_factor,
-                ep_axis=self.moe_ep_axis,
-                activation_fn=self.activation_fn,
-                dtype=self.dtype,
-                name="moe",
-            )
-        else:
-            ff = T2VFeedForward(
-                dim=self.dim, activation_fn=self.activation_fn,
-                chunk_size=self.ff_chunk_size, quantized=self.quantized,
-                dtype=self.dtype, name="ff"
-            )
-        x = x + gate_mlp * ff(h)
+        x = x + gate_mlp * _make_ff(self)(h)
         return x
 
 

@@ -29,20 +29,19 @@ from latte_tpu.train.checkpoint import find_model
 from latte_tpu.utils import create_logger, save_video, to_uint8
 
 
-def build_sample_fn(model, params, config, diffusion):
-    """Return a (z, y, rng) -> final-latents function.
+def build_sample_impl(model, config, diffusion, loop: str = "scan"):
+    """(params, z, y, rng) -> final-latents sampler body + its CFG flag.
 
-    ``loop_mode``: "scan" (default) compiles the whole trajectory into one
-    XLA program; "host" drives a Python loop over one jitted step —
-    required on remote-relay TPU backends whose compiler cannot handle
-    while-loops around the full model (docs/tpu_notes.md).
+    The single source of the sampler construction (CFG predicate,
+    forward_with_cfg wrapper, ddpm/ddim loop select) — shared by the
+    live jitted path below and the AOT export (`latte_tpu/serve/aot.py`),
+    which must stay program-identical to it.
     """
     use_cfg = (
         int(getattr(config, "extras", 1)) == 2
         and float(getattr(config, "cfg_scale", 1.0)) > 1.0
     )
     sample_method = str(getattr(config, "sample_method", "ddpm")).lower()
-    loop_mode = str(getattr(config, "loop_mode", "scan") or "scan")
 
     def model_apply(p, x, t, **kw):
         if use_cfg:
@@ -61,16 +60,37 @@ def build_sample_fn(model, params, config, diffusion):
             z,
             rng=rng,
             model_kwargs=kwargs,
-            loop=loop_mode,
+            loop=loop,
             params=p,
             model_apply=model_apply,
         )
+
+    return sample_impl, use_cfg
+
+
+def build_sample_fn(model, params, config, diffusion, allow_tp: bool = True):
+    """Return a (z, y, rng) -> final-latents function.
+
+    ``loop_mode``: "scan" (default) compiles the whole trajectory into one
+    XLA program; "host" drives a Python loop over one jitted step —
+    required on remote-relay TPU backends whose compiler cannot handle
+    while-loops around the full model (docs/tpu_notes.md).
+
+    ``allow_tp``: callers that manage their own mesh/shardings
+    (sample_many's dp BatchGenerator) pass False so a train-derived
+    config carrying ``tensor_parallel`` doesn't pin this sampler to a
+    conflicting tp submesh.
+    """
+    loop_mode = str(getattr(config, "loop_mode", "scan") or "scan")
+    sample_impl, use_cfg = build_sample_impl(
+        model, config, diffusion, loop=loop_mode
+    )
 
     # Params are an ARGUMENT of the jitted program in both modes — closing
     # over device arrays bakes them into the HLO. Host mode manages its own
     # per-step jit; jitting the outer fn would re-introduce the nested
     # while-loop.
-    tp = int(getattr(config, "tensor_parallel", 1) or 1)
+    tp = int(getattr(config, "tensor_parallel", 1) or 1) if allow_tp else 1
     if tp > 1:
         # Tensor-parallel serving: Megatron param rules split attention
         # heads / MLP columns over the first `tp` chips and GSPMD inserts
@@ -93,6 +113,8 @@ def build_sample_fn(model, params, config, diffusion):
         rep = NamedSharding(mesh, P())
         jitted = jax.jit(sample_impl, in_shardings=(p_shard, rep, rep, None))
         fn = lambda z, y, rng: jitted(params, z, y, rng)
+        # introspection hook (tests assert the split actually happened)
+        fn.tp_mesh, fn.tp_params = mesh, params
     elif loop_mode == "host":
         fn = lambda z, y, rng: sample_impl(params, z, y, rng)
     else:

@@ -86,7 +86,10 @@ class BatchGenerator:
         with self.mesh:
             self.params = replicate(self.mesh, params)
         self.sample_fn, self.use_cfg = build_sample_fn(
-            model, self.params, config, diffusion
+            # allow_tp=False: this generator owns the full-device dp mesh;
+            # a config-carried tensor_parallel must not pin the sampler
+            # to a conflicting tp submesh
+            model, self.params, config, diffusion, allow_tp=False
         )
 
         vae, vae_params = load_vae(config)

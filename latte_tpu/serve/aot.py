@@ -45,36 +45,13 @@ _MAGIC = b"LTPUAOT1"
 
 
 def _build_sample_impl(model, config, diffusion):
-    """(params, z, y, rng) -> final latents; mirrors
-    `sample/sample.py build_sample_fn` with loop="scan" (the only mode
-    that makes sense AOT — the trajectory must live inside the program).
-    """
-    from latte_tpu.core.samplers import ddim_sample_loop, p_sample_loop
+    """(params, z, y, rng) -> final latents — the SAME construction as
+    the live sampler (`sample/sample.py build_sample_impl`) with
+    loop="scan", the only mode that makes sense AOT (the trajectory must
+    live inside the exported program)."""
+    from latte_tpu.sample.sample import build_sample_impl
 
-    use_cfg = (
-        int(getattr(config, "extras", 1)) == 2
-        and float(getattr(config, "cfg_scale", 1.0)) > 1.0
-    )
-    sample_method = str(getattr(config, "sample_method", "ddpm")).lower()
-
-    def model_apply(p, x, t, **kw):
-        if use_cfg:
-            return model.apply(
-                p, x, t, cfg_scale=float(config.cfg_scale),
-                method=model.forward_with_cfg, **kw,
-            )
-        return model.apply(p, x, t, **kw)
-
-    loop_fn = ddim_sample_loop if sample_method == "ddim" else p_sample_loop
-
-    def sample_impl(p, z, y, rng):
-        kwargs = {"y": y} if y is not None else {}
-        return loop_fn(
-            diffusion, None, z, rng=rng, model_kwargs=kwargs,
-            loop="scan", params=p, model_apply=model_apply,
-        )
-
-    return sample_impl, use_cfg
+    return build_sample_impl(model, config, diffusion, loop="scan")
 
 
 def export_sampler(
@@ -97,7 +74,11 @@ def export_sampler(
     """
     extras = int(getattr(config, "extras", 1))
     frames = int(getattr(config, "num_frames", 16))
-    latent = int(getattr(config, "image_size", 256)) // 8
+    # latent_size overrides image_size//8, mirroring sample.py main
+    latent = int(
+        getattr(config, "latent_size", 0)
+        or int(getattr(config, "image_size", 256)) // 8
+    )
     in_ch = int(getattr(config, "in_channels", 4))
 
     sample_impl, use_cfg = _build_sample_impl(model, config, diffusion)

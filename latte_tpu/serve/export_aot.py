@@ -5,10 +5,10 @@ Usage::
     python -m latte_tpu.serve.export_aot --config configs/ffs/ffs_sample.yaml \
         --out ffs_xl.ltpu-aot [--batch 4] [--platforms tpu,cpu] [key=value ...]
 
-Weights are NOT embedded (see `latte_tpu/serve/aot.py`): if ``ckpt`` is
-set in the config the checkpoint is only read for shapes/dtypes; without
-one, shapes come from `jax.eval_shape` of the model init — either way the
-export itself never materializes weights.
+Weights are NOT embedded (see `latte_tpu/serve/aot.py`): parameter
+shapes/dtypes come from `jax.eval_shape` of the model init — the export
+never materializes weights, and any ``ckpt`` in the config is ignored
+here (it is supplied at call time on the serving host).
 """
 
 from __future__ import annotations
@@ -29,10 +29,15 @@ def main(config, out: str, batch: int = 1, platforms=None) -> str:
     logger = create_logger(None)
     model = get_models(config)
     frames = int(getattr(config, "num_frames", 16))
-    latent = int(getattr(config, "image_size", 256)) // 8
+    # same latent/channel derivation as export_sampler and sample.py main
+    latent = int(
+        getattr(config, "latent_size", 0)
+        or int(getattr(config, "image_size", 256)) // 8
+    )
     extras = int(getattr(config, "extras", 1))
+    in_ch = int(getattr(config, "in_channels", 4))
 
-    x = jnp.zeros((1, frames, 4, latent, latent), jnp.float32)
+    x = jnp.zeros((1, frames, in_ch, latent, latent), jnp.float32)
     t = jnp.zeros((1,), jnp.int32)
     init_kw = {"y": jnp.zeros((1,), jnp.int32)} if extras == 2 else {}
     rngs = {"params": jax.random.PRNGKey(0)}

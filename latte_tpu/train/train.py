@@ -489,6 +489,21 @@ def main(config: Config, callbacks=None) -> dict:
         logger.info(
             f"pipeline parallelism: pp={pp} stages x {pp_microbatches} microbatches"
         )
+    moe_aux_weight = (
+        float(getattr(config, "moe_aux_weight", 0.01) or 0.0)
+        if moe_experts > 1
+        else 0.0
+    )
+    if moe_aux_weight > 0.0 and pp > 1:
+        # the pipelined forward can't carry the sown per-pair aux losses
+        # across stage hops — routers train without a balancing signal
+        logger.warning(
+            "pipeline_parallel > 1 discards moe_aux_weight="
+            f"{moe_aux_weight}: the MoE load-balancing loss is not "
+            "collectable through the pipelined forward; routing balance "
+            "is unregularized on this run"
+        )
+        moe_aux_weight = 0.0
     train_step = make_train_step(
         model,
         diffusion,
@@ -503,11 +518,7 @@ def main(config: Config, callbacks=None) -> dict:
         grad_accum=grad_accum,
         # MoE load-balancing loss weight (Switch Transformer's 0.01
         # default); only collectable on the non-pipelined forward
-        moe_aux_weight=(
-            float(getattr(config, "moe_aux_weight", 0.01) or 0.0)
-            if (moe_experts > 1 and pp == 1)
-            else 0.0
-        ),
+        moe_aux_weight=moe_aux_weight,
     )
     jitted_step = jax.jit(train_step, donate_argnums=(0,))
     if encode_params is not None:

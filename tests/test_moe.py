@@ -17,13 +17,21 @@ from latte_tpu.models.layers import Mlp
 from latte_tpu.models.moe import MoEMlp
 
 
-def _np_moe(x, router, wi, bi, wo, bo, top_k, capacity_factor):
-    """Per-token numpy mirror of MoEMlp's routing + capacity semantics."""
+def _np_moe(x, router, wi, bi, wo, bo, top_k, capacity_factor, group_size=None):
+    """Per-token numpy mirror of MoEMlp's routing + capacity semantics.
+
+    ``group_size=None`` = one global dispatch group (the default tiny-S
+    case); otherwise capacity is allocated per contiguous token group,
+    matching MoEMlp's GShard grouping.
+    """
     S, D = x.shape
     E = router.shape[1]
     k = min(top_k, E)
-    C = max(1, int(np.ceil(S * k * capacity_factor / E)))
-    C = min(C, S)
+    g = S if group_size is None else min(group_size, S)
+    while S % g:
+        g -= 1
+    C = max(1, int(np.ceil(g * k * capacity_factor / E)))
+    C = min(C, g)
 
     logits = x.astype(np.float64) @ router.astype(np.float64)
     probs = np.exp(logits - logits.max(-1, keepdims=True))
@@ -45,14 +53,15 @@ def _np_moe(x, router, wi, bi, wo, bo, top_k, capacity_factor):
         h = 0.5 * h * (1 + np.tanh(np.sqrt(2 / np.pi) * (h + 0.044715 * h**3)))
         return h @ wo[e] + bo[e]
 
-    counts = np.zeros(E, np.int64)
+    counts = np.zeros((S // g, E), np.int64)  # per-group expert queues
     kept = np.zeros((S, k), bool)
     for j in range(k):  # choice 0 for ALL tokens queues before choice 1
         for s in range(S):
             e = choices[s, j]
-            if counts[e] < C:
+            grp = s // g
+            if counts[grp, e] < C:
                 kept[s, j] = True
-            counts[e] += 1
+            counts[grp, e] += 1
 
     y = np.zeros((S, wo.shape[-1]))
     for s in range(S):
@@ -412,3 +421,77 @@ class TestEpShardingRules:
         mesh_dp = make_mesh(MeshConfig(dp=8))
         sh_dp = fsdp_param_shardings(self._param_shapes(), mesh_dp)
         assert "ep" not in tuple(sh_dp["blocks"]["spatial"]["moe"]["wi"].spec)
+
+
+class TestGroupedDispatch:
+    """GShard grouping: capacity per token group, memory linear in S."""
+
+    def test_grouped_matches_numpy_reference(self):
+        D, H, E = 8, 16, 4
+        x = jax.random.normal(jax.random.PRNGKey(11), (3, 8, D))  # S=24
+        ks = jax.random.split(jax.random.PRNGKey(12), 5)
+        params = {
+            "router": jax.random.normal(ks[0], (D, E)) * 0.5,
+            "wi": jax.random.normal(ks[1], (E, D, H)) * 0.3,
+            "bi": jax.random.normal(ks[2], (E, H)) * 0.1,
+            "wo": jax.random.normal(ks[3], (E, H, D)) * 0.3,
+            "bo": jax.random.normal(ks[4], (E, D)) * 0.1,
+        }
+        m = MoEMlp(hidden_features=H, out_features=D, num_experts=E,
+                   top_k=2, capacity_factor=1.0, group_size=6)  # G=4, g=6
+        out = m.apply({"params": params}, x)
+        ref, _, _ = _np_moe(
+            np.asarray(x).reshape(24, D),
+            *(np.asarray(params[n]) for n in ("router", "wi", "bi", "wo", "bo")),
+            top_k=2, capacity_factor=1.0, group_size=6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(24, D), ref, atol=1e-5
+        )
+
+    def test_group_divisor_fallback(self):
+        """S=10, group_size=4: falls back to the largest divisor g=2."""
+        D, H, E = 4, 8, 2
+        x = jax.random.normal(jax.random.PRNGKey(13), (1, 10, D))
+        m = MoEMlp(hidden_features=H, out_features=D, num_experts=E,
+                   top_k=1, capacity_factor=2.0, group_size=4)
+        v = m.init(jax.random.PRNGKey(14), x)
+        out = m.apply(v, x)
+        assert out.shape == (1, 10, D)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_capacity_is_per_group(self):
+        """Router hard-biased to expert 0, capacity 1 per group: the
+        FIRST token of EVERY group survives (vs one global survivor)."""
+        D, H, E = 4, 8, 4
+        x = jnp.ones((1, 8, D)) + jnp.arange(8)[None, :, None] * 0.01
+        ks = jax.random.split(jax.random.PRNGKey(15), 5)
+        params = {
+            "router": jnp.zeros((D, E)).at[:, 0].set(10.0),
+            "wi": jax.random.normal(ks[1], (E, D, H)) * 0.3,
+            "bi": jax.random.normal(ks[2], (E, H)) * 0.1,
+            "wo": jax.random.normal(ks[3], (E, H, D)) * 0.3,
+            "bo": jax.random.normal(ks[4], (E, D)) * 0.1,
+        }
+        # g=4 -> C = ceil(4*1*0.25/4) = 1 per group; groups = tokens 0-3, 4-7
+        m = MoEMlp(hidden_features=H, out_features=D, num_experts=E,
+                   top_k=1, capacity_factor=0.25, group_size=4)
+        out = np.asarray(m.apply({"params": params}, x))[0]
+        nonzero = np.abs(out).sum(-1) > 1e-9
+        assert nonzero[0] and nonzero[4], nonzero
+        assert not nonzero[[1, 2, 3, 5, 6, 7]].any(), nonzero
+
+
+def test_quantized_moe_rejected():
+    """W8A8/QAT has no MoE expert path — the combination must fail
+    loudly at trace time, not silently serve a full-precision FF."""
+    from latte_tpu.models import Latte
+
+    m = Latte(
+        input_size=8, patch_size=2, hidden_size=32, depth=4,
+        num_heads=2, num_frames=2, extras=1, attention_mode="xla",
+        moe_experts=4, quantized=True,
+    )
+    x = jnp.zeros((1, 2, 4, 8, 8))
+    with pytest.raises(NotImplementedError, match="moe_experts"):
+        m.init({"params": jax.random.PRNGKey(0)}, x, jnp.zeros((1,), jnp.int32))

@@ -94,6 +94,22 @@ class TestTpServing:
         cfg, model, diffusion, params = _setup(extras=1)
         cfg_tp = Config({**cfg.to_dict(), "tensor_parallel": 4})
         fn, _ = build_sample_fn(model, params, cfg_tp, diffusion)
+        # the Megatron column split must actually land on the block qkv
+        qkv = fn.tp_params["params"]["blocks"]["spatial"]["attn"]["qkv"]["kernel"]
+        assert not qkv.sharding.is_fully_replicated, qkv.sharding
+        assert fn.tp_mesh.shape["tp"] == 4
+        z = jnp.zeros((1, 2, 4, 2, 2))
+        out = fn(z, None, jax.random.PRNGKey(0))
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_sample_many_ignores_tensor_parallel(self):
+        """allow_tp=False callers (sample_many's dp BatchGenerator) must
+        get the plain jitted sampler even when the config carries
+        tensor_parallel."""
+        cfg, model, diffusion, params = _setup(extras=1)
+        cfg_tp = Config({**cfg.to_dict(), "tensor_parallel": 2})
+        fn, _ = build_sample_fn(model, params, cfg_tp, diffusion, allow_tp=False)
+        assert not hasattr(fn, "tp_params")
         z = jnp.zeros((1, 2, 4, 2, 2))
         out = fn(z, None, jax.random.PRNGKey(0))
         assert np.isfinite(np.asarray(out)).all()
