@@ -79,6 +79,7 @@ class SpatioTemporalPair(nn.Module):
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     moe_ep_axis: Optional[str] = None
+    fused_adaln: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _constrain(self, x):
@@ -105,6 +106,7 @@ class SpatioTemporalPair(nn.Module):
             moe_top_k=self.moe_top_k,
             moe_capacity_factor=self.moe_capacity_factor,
             moe_ep_axis=self.moe_ep_axis,
+            fused_adaln=self.fused_adaln,
         )
         x = self._constrain(x)
         x = AdaLNBlock(
@@ -185,6 +187,9 @@ class Latte(nn.Module):
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     moe_ep_axis: Optional[str] = None
+    # Pallas-fused LN+modulate+gated-residual glue (kernels/adaln.py);
+    # single-mesh only — see AdaLNBlock.fused_adaln
+    fused_adaln: bool = False
     gradient_checkpointing: bool = False
     # remat policy when gradient_checkpointing: "full" | "dots"
     remat_policy: str = "full"
@@ -285,6 +290,7 @@ class Latte(nn.Module):
             moe_top_k=self.moe_top_k,
             moe_capacity_factor=self.moe_capacity_factor,
             moe_ep_axis=self.moe_ep_axis,
+            fused_adaln=self.fused_adaln,
             dtype=self.dtype,
             name="blocks",
         )(x, (c_spatial, c_temp, temp_embed), is_first)

@@ -220,10 +220,21 @@ class AdaLNBlock(nn.Module):
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     moe_ep_axis: Optional[str] = None
+    # Fuse the LN + modulate + gated-residual glue into Pallas kernels
+    # (kernels/adaln.py) — one HBM pass each instead of XLA's several
+    # fusions. Single-mesh only: a pallas_call is opaque to GSPMD, so it
+    # cannot compose with activation_sharding (sequence parallelism).
+    fused_adaln: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        if self.fused_adaln and self.activation_sharding is not None:
+            raise ValueError(
+                "fused_adaln=True cannot compose with activation_sharding "
+                "(a pallas_call is opaque to the SPMD partitioner); disable "
+                "one of the two"
+            )
         mod = nn.Dense(
             6 * self.hidden_size,
             dtype=self.dtype,
@@ -248,10 +259,7 @@ class AdaLNBlock(nn.Module):
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(
             mod, 6, axis=-1
         )
-        norm1 = nn.LayerNorm(
-            epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm1"
-        )(x)
-        x = x + gate_msa[:, None, :] * Attention(
+        attn = Attention(
             dim=self.hidden_size,
             num_heads=self.num_heads,
             qkv_bias=True,
@@ -261,10 +269,35 @@ class AdaLNBlock(nn.Module):
             ring_axis=self.ring_axis,
             dtype=self.dtype,
             name="attn",
-        )(modulate(norm1, shift_msa, scale_msa))
-        norm2 = nn.LayerNorm(
-            epsilon=1e-6, use_bias=False, use_scale=False, dtype=self.dtype, name="norm2"
-        )(x)
+        )
+        if self.fused_adaln:
+            from latte_tpu.kernels.adaln import ln_modulate, residual_ln_modulate
+
+            attn_out = attn(ln_modulate(x, shift_msa, scale_msa))
+            # y = x + gate_msa*attn_out (the residual carry) and the mlp
+            # input LN(y)*(1+scale_mlp)+shift_mlp in one fused HBM pass
+            x, ff_in = residual_ln_modulate(
+                x, attn_out, gate_msa, shift_mlp, scale_mlp
+            )
+        else:
+            norm1 = nn.LayerNorm(
+                epsilon=1e-6,
+                use_bias=False,
+                use_scale=False,
+                dtype=self.dtype,
+                name="norm1",
+            )(x)
+            x = x + gate_msa[:, None, :] * attn(
+                modulate(norm1, shift_msa, scale_msa)
+            )
+            norm2 = nn.LayerNorm(
+                epsilon=1e-6,
+                use_bias=False,
+                use_scale=False,
+                dtype=self.dtype,
+                name="norm2",
+            )(x)
+            ff_in = modulate(norm2, shift_mlp, scale_mlp)
         if self.moe_experts > 1:
             from latte_tpu.models.moe import MoEMlp
 
@@ -294,9 +327,7 @@ class AdaLNBlock(nn.Module):
                 dtype=self.dtype,
                 name="mlp",
             )
-        x = x + gate_mlp[:, None, :] * ff(
-            modulate(norm2, shift_mlp, scale_mlp)
-        )
+        x = x + gate_mlp[:, None, :] * ff(ff_in)
         return x
 
 
