@@ -17,7 +17,11 @@ HBM passes:
 Stats are computed in fp32 regardless of the activation dtype (same
 numerics as ``nn.LayerNorm(dtype=...)`` which upcasts for the
 reduction); eps = 1e-6 matches the reference DiT blocks
-(`/root/reference/models/latte.py:160-181`).
+(`/root/reference/models/latte.py:160-181`). Variance is two-pass
+``E[(x-mu)^2]`` — matching torch ``nn.LayerNorm`` and the unfused
+blocks' ``use_fast_variance=False`` norms, NOT flax's fast-variance
+default ``E[x^2]-E[x]^2`` (which diverges by ~3e-3 at mean-offset-100
+inputs; the two-pass side is the more accurate one).
 
 Both ops carry a ``jax.custom_vjp`` whose backward is the standard
 LayerNorm gradient algebra composed with the modulate/residual terms,
@@ -58,7 +62,10 @@ def _res_ln_mod_kernel(x_ref, delta_ref, gate_ref, shift_ref, scale_ref, y_ref, 
     g = gate_ref[...].astype(jnp.float32)    # (bs, 1, D)
     # round the carry to the storage dtype BEFORE the LN stats — exactly
     # what the unfused block does (residual add in model dtype, LN upcasts
-    # the stored activation), so fused/unfused agree bit-for-bit
+    # the stored activation). Variance is two-pass E[(x-mu)^2] — the same
+    # formula as the unfused norm1/norm2 (use_fast_variance=False) and
+    # torch nn.LayerNorm; flax's fast-variance E[x^2]-E[x]^2 default would
+    # diverge by up to ~3e-3 at large mean offsets.
     y_st = (x + g * d).astype(y_ref.dtype)
     y_ref[...] = y_st
     y = y_st.astype(jnp.float32)
@@ -93,25 +100,31 @@ def _vec_spec(bs, D):
     return pl.BlockSpec((bs, 1, D), lambda b: (b, 0, 0))
 
 
-def _interpret() -> bool:
-    # pallas TPU lowering only exists on TPU; interpret mode everywhere else
-    # (the CPU test mesh, the driver's virtual-device dryrun)
-    return jax.default_backend() != "tpu"
-
-
 def _ln_modulate_fwd_impl(x, shift, scale):
     B, N, D = x.shape
     shift = shift.reshape(B, 1, D)
     scale = scale.reshape(B, 1, D)
     bs = _pick_bs(B, N, D, x.dtype.itemsize)
-    return pl.pallas_call(
-        _ln_mod_kernel,
-        grid=(B // bs,),
-        in_specs=[_row_spec(bs, N, D), _vec_spec(bs, D), _vec_spec(bs, D)],
-        out_specs=_row_spec(bs, N, D),
-        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
-        interpret=_interpret(),
-    )(x, shift, scale)
+
+    def call(interpret):
+        def f(x, shift, scale):
+            return pl.pallas_call(
+                _ln_mod_kernel,
+                grid=(B // bs,),
+                in_specs=[_row_spec(bs, N, D), _vec_spec(bs, D), _vec_spec(bs, D)],
+                out_specs=_row_spec(bs, N, D),
+                out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+                interpret=interpret,
+            )(x, shift, scale)
+
+        return f
+
+    # Branch on the LOWERING platform (not the trace-time default backend):
+    # a cross-platform AOT export traced on a CPU host but targeting TPU
+    # must bake the native Mosaic kernel, not interpret-mode HLO.
+    return jax.lax.platform_dependent(
+        x, shift, scale, tpu=call(False), default=call(True)
+    )
 
 
 def _res_ln_modulate_fwd_impl(x, delta, gate, shift, scale):
@@ -120,17 +133,26 @@ def _res_ln_modulate_fwd_impl(x, delta, gate, shift, scale):
     shift = shift.reshape(B, 1, D)
     scale = scale.reshape(B, 1, D)
     bs = _pick_bs(B, N, D, x.dtype.itemsize)
-    return pl.pallas_call(
-        _res_ln_mod_kernel,
-        grid=(B // bs,),
-        in_specs=[_row_spec(bs, N, D)] * 2 + [_vec_spec(bs, D)] * 3,
-        out_specs=[_row_spec(bs, N, D)] * 2,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, N, D), x.dtype),
-            jax.ShapeDtypeStruct((B, N, D), x.dtype),
-        ],
-        interpret=_interpret(),
-    )(x, delta, gate, shift, scale)
+
+    def call(interpret):
+        def f(x, delta, gate, shift, scale):
+            return pl.pallas_call(
+                _res_ln_mod_kernel,
+                grid=(B // bs,),
+                in_specs=[_row_spec(bs, N, D)] * 2 + [_vec_spec(bs, D)] * 3,
+                out_specs=[_row_spec(bs, N, D)] * 2,
+                out_shape=[
+                    jax.ShapeDtypeStruct((B, N, D), x.dtype),
+                    jax.ShapeDtypeStruct((B, N, D), x.dtype),
+                ],
+                interpret=interpret,
+            )(x, delta, gate, shift, scale)
+
+        return f
+
+    return jax.lax.platform_dependent(
+        x, delta, gate, shift, scale, tpu=call(False), default=call(True)
+    )
 
 
 def _ln_stats(y32):

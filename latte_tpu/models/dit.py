@@ -270,7 +270,7 @@ class Latte(nn.Module):
             # "intermediates" carries the sown MoE aux losses; stacking it
             # on axis 0 gives one value per scanned pair (a no-op when the
             # caller doesn't apply with mutable=["intermediates"])
-            variable_axes={"params": 0, "intermediates": 0},
+            variable_axes={"params": 0, "intermediates": 0, "calib": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, 0),
             length=n_pairs,

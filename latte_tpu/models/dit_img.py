@@ -224,7 +224,7 @@ class LatteIMG(nn.Module):
             pair_cls,
             # "intermediates" stacks the sown MoE aux losses per pair (a
             # no-op unless applied with mutable=["intermediates"])
-            variable_axes={"params": 0, "intermediates": 0},
+            variable_axes={"params": 0, "intermediates": 0, "calib": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast, 0),
             length=n_pairs,

@@ -53,6 +53,38 @@ class QDense(nn.Module):
                 "kernel", self.kernel_init, (in_features, self.features), jnp.float32
             )
             y = int8_matmul_ste(jnp.asarray(x, self.dtype), kernel, self.dtype)
+        elif self.quantized == "calib":
+            # calibration pass: fp forward + record the activation amax into
+            # the "calib" collection (apply with mutable=["calib"]); feeds
+            # quantize_params(..., act_amax=...) for quantized="static"
+            kernel = self.param(
+                "kernel", self.kernel_init, (in_features, self.features), jnp.float32
+            )
+            self.sow(
+                "calib",
+                "act_amax",
+                jnp.max(jnp.abs(x)).astype(jnp.float32),
+                init_fn=lambda: jnp.float32(0.0),
+                reduce_fn=jnp.maximum,
+            )
+            y = jnp.asarray(x, self.dtype) @ jnp.asarray(kernel, self.dtype)
+        elif self.quantized == "static":
+            # W8A8 with a CALIBRATED static activation scale: the quantize
+            # fuses into the producer (no dynamic amax pass) — the serving
+            # fast path (quant/int8.int8_matmul_static)
+            from latte_tpu.quant.int8 import int8_matmul_static
+
+            w_i8 = self.param(
+                "kernel_i8", zeros, (in_features, self.features), jnp.int8
+            )
+            scale = self.param(
+                "kernel_scale",
+                nn.initializers.ones,
+                (1, self.features),
+                jnp.float32,
+            )
+            act = self.param("act_scale", nn.initializers.ones, (), jnp.float32)
+            y = int8_matmul_static(x, w_i8, scale, act, self.dtype)
         elif self.quantized:
             from latte_tpu.quant.int8 import int8_matmul
 
@@ -235,8 +267,17 @@ class AdaLNBlock(nn.Module):
                 "(a pallas_call is opaque to the SPMD partitioner); disable "
                 "one of the two"
             )
-        mod = nn.Dense(
+        # W8A8 serving also quantizes this dense: its (D, 6D) weight streams
+        # as many bytes per step as qkv+proj+fc1+fc2 combined once those are
+        # int8, and the step is weight-DMA-bound (docs/tpu_notes.md). QAT
+        # ("train") keeps it fp — it is zero-init-sensitive.
+        mod = QDense(
             6 * self.hidden_size,
+            quantized=(
+                self.quantized
+                if self.quantized in (True, "static", "calib")
+                else False
+            ),
             dtype=self.dtype,
             kernel_init=zeros,
             bias_init=zeros,
@@ -280,10 +321,15 @@ class AdaLNBlock(nn.Module):
                 x, attn_out, gate_msa, shift_mlp, scale_mlp
             )
         else:
+            # use_fast_variance=False: two-pass E[(x-mu)^2] variance — the
+            # same formula as torch nn.LayerNorm AND kernels/adaln.py, so
+            # the fused and unfused paths agree (flax's fast-variance
+            # default diverges by ~3e-3 at large mean offsets)
             norm1 = nn.LayerNorm(
                 epsilon=1e-6,
                 use_bias=False,
                 use_scale=False,
+                use_fast_variance=False,
                 dtype=self.dtype,
                 name="norm1",
             )(x)
@@ -294,6 +340,7 @@ class AdaLNBlock(nn.Module):
                 epsilon=1e-6,
                 use_bias=False,
                 use_scale=False,
+                use_fast_variance=False,
                 dtype=self.dtype,
                 name="norm2",
             )(x)

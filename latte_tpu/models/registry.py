@@ -65,6 +65,12 @@ def get_models(args):
         common["gradient_checkpointing"] = True
         if getattr(args, "remat_policy", None):
             common["remat_policy"] = str(args.remat_policy)
+    if getattr(args, "fused_adaln", False):
+        # Pallas-fused LN+modulate+residual glue (kernels/adaln.py). A
+        # pallas_call is opaque to GSPMD, so entry points that build a
+        # sharded mesh (tensor_parallel / dp / sp) must reject or drop
+        # this flag — see models/layers.py AdaLNBlock.fused_adaln.
+        common["fused_adaln"] = True
     if getattr(args, "moe_experts", 0):
         # Mixture-of-Experts FF (models/moe.py) — beyond-reference scaling
         common["moe_experts"] = int(args.moe_experts)

@@ -38,6 +38,11 @@ QUANT_TARGETS_BY_PARENT = {
     "attn1": ("to_q", "to_k", "to_v", "to_out"),
     "attn2": ("to_q", "to_k", "to_v", "to_out"),
     "ff": ("net_0_proj", "net_2"),
+    # the per-block adaLN modulation dense: its (D, 6D) weight streams as
+    # many bytes/step as the four hot matmuls combined once those are int8,
+    # and the DDIM step is weight-DMA-bound (docs/tpu_notes.md roofline)
+    "spatial": ("adaLN_modulation",),
+    "temporal": ("adaLN_modulation",),
 }
 
 
@@ -71,6 +76,34 @@ def int8_matmul(
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     ax = jnp.maximum(amax, 1e-8) / 127.0
     x_i8 = jnp.clip(jnp.round(xf / ax), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_i8,
+        w_i8,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * ax * scale.reshape(-1)).astype(out_dtype)
+
+
+def int8_matmul_static(
+    x: jnp.ndarray,
+    w_i8: jnp.ndarray,
+    scale: jnp.ndarray,
+    act_scale: jnp.ndarray,
+    out_dtype: jnp.dtype,
+) -> jnp.ndarray:
+    """W8A8 matmul with a CALIBRATED static activation scale.
+
+    The dynamic per-token path costs an extra full HBM read of every matmul
+    input (the amax reduce) plus a bf16 materialization before the int8
+    cast — measured 5.8 ms of the 23 ms XL/2 DDIM step
+    (docs/tpu_notes.md, round-4 int8 trace). With a static per-tensor
+    ``act_scale`` (from :func:`calibrate_act_scales`) the quantize is pure
+    elementwise work that XLA fuses into the producer, which then writes
+    int8 directly — no amax pass, no bf16 round-trip.
+    """
+    ax = jnp.maximum(act_scale.astype(jnp.float32), 1e-8) / 127.0
+    x_i8 = jnp.clip(jnp.round(x.astype(jnp.float32) / ax), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
         x_i8,
         w_i8,
@@ -136,12 +169,18 @@ def _is_target(path) -> bool:
     )
 
 
-def quantize_params(params):
+def quantize_params(params, act_amax=None):
     """fp params tree -> quantized tree for a ``quantized=True`` model.
 
     Each targeted ``{".../qkv|proj|fc1|fc2": {"kernel": w}}`` becomes
     ``{"kernel_i8": int8, "kernel_scale": f32}``; biases and every other
     leaf pass through unchanged.
+
+    With ``act_amax`` (the "calib" collection from a ``quantized="calib"``
+    run — see :func:`calibrate_act_amax`), each target additionally gets an
+    ``act_scale`` leaf holding the calibrated activation amax, producing
+    params for ``quantized="static"`` serving (static per-tensor activation
+    scales — no dynamic amax pass at serve time).
     """
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     out = {}
@@ -154,6 +193,44 @@ def quantize_params(params):
             w_i8, scale = quantize_weight(leaf)
             node["kernel_i8"] = w_i8
             node["kernel_scale"] = scale
+            if act_amax is not None:
+                node["act_scale"] = _lookup_amax(act_amax, keys[:-1])
         else:
             node[keys[-1]] = leaf
     return out
+
+
+def _lookup_amax(act_amax, module_keys):
+    """Fetch the sown act_amax for a module path from a calib collection."""
+    node = act_amax
+    for k in module_keys:
+        if k not in node:
+            raise KeyError(
+                f"calibration collection has no entry for {'/'.join(module_keys)} "
+                f"(missing {k!r}); run the model with quantized='calib' and "
+                f"mutable=['calib'] over representative inputs first"
+            )
+        node = node[k]
+    v = node["act_amax"]
+    if isinstance(v, (tuple, list)):  # default sow() appends into a tuple
+        v = jnp.stack([jnp.asarray(x) for x in v]).max(axis=0)
+    return jnp.asarray(v, jnp.float32)
+
+
+def calibrate_act_amax(apply_fn, *call_args, **call_kwargs):
+    """Run one calibration forward and return the merged "calib" collection.
+
+    ``apply_fn`` is a closure over ``model.apply`` built with a
+    ``quantized="calib"`` model; it must accept ``mutable=["calib"]`` via
+    kwargs. Call repeatedly over representative inputs (e.g. several DDIM
+    timesteps) and merge with :func:`merge_amax`.
+    """
+    _, variables = apply_fn(*call_args, mutable=["calib"], **call_kwargs)
+    return variables["calib"]
+
+
+def merge_amax(a, b):
+    """Elementwise max of two calib collections (pytrees of amax scalars)."""
+    if a is None:
+        return b
+    return jax.tree_util.tree_map(jnp.maximum, a, b)

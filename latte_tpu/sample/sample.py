@@ -99,6 +99,14 @@ def build_sample_fn(model, params, config, diffusion, allow_tp: bool = True):
         # serving batch is 1–2 with CFG).
         if loop_mode == "host":
             raise ValueError("tensor_parallel serving requires loop_mode=scan")
+        if getattr(model, "fused_adaln", False):
+            # pallas_call is opaque to GSPMD — under the tp mesh it would
+            # force full activation replication around every block
+            raise ValueError(
+                "fused_adaln does not compose with tensor_parallel serving "
+                "(the Pallas adaLN kernels are opaque to the SPMD "
+                "partitioner); disable one of the two"
+            )
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from latte_tpu.dist.mesh import MeshConfig, make_mesh

@@ -280,6 +280,18 @@ def main(config: Config, callbacks=None) -> dict:
             )
     dp = n_dev // (tp * sp * pp * ep)
     mesh = make_mesh(MeshConfig(dp=dp, tp=tp, sp=sp, pp=pp, ep=ep))
+    if getattr(model, "fused_adaln", False) and n_dev > 1:
+        # A pallas_call is opaque to GSPMD: under any sharded mesh (dp/
+        # FSDP included) the partitioner would all-gather its operands to
+        # full replication — a silent perf cliff and a possible multi-host
+        # OOM. Drop the kernel rather than serve the cliff.
+        logger.warning(
+            "fused_adaln disabled: the Pallas adaLN kernels do not compose "
+            "with a %d-device mesh (pallas_call is opaque to the SPMD "
+            "partitioner); using the XLA-fused path",
+            n_dev,
+        )
+        model = model.clone(fused_adaln=False)
     local_batch = int(getattr(config, "local_batch_size", 5))
     global_batch = local_batch * dp
 
