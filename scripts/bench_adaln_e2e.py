@@ -96,12 +96,30 @@ def main():
         print(f"{tag:34s} {ms:7.2f} ms/step   ({60e3/(ms*50):.2f} videos/min @50 steps)")
         return ms
 
+    smodel_probe = build(False, "static", True)
+    sshapes = jax.eval_shape(
+        lambda: smodel_probe.init({"params": rng}, jnp.zeros(x_shape, jnp.float32), t0c)
+    )
+
+    @jax.jit
+    def init_s():
+        def mk(s):
+            if s.dtype == jnp.int8:
+                return jnp.zeros(s.shape, jnp.int8)
+            if s.dtype == jnp.float32:
+                return jnp.full(s.shape, 0.01, jnp.float32)
+            return jnp.zeros(s.shape, jnp.bfloat16)
+
+        return jax.tree_util.tree_map(mk, sshapes)
+
+    sparams = init_s()
+
     results = {}
     for fused in (False, True):
-        for quant in (False, True):
+        for quant in (False, True, "static"):
             tag = f"fused_adaln={fused} int8={quant}"
             model = build(fused, quant, True)
-            p = qparams if quant else params
+            p = {True: qparams, "static": sparams}.get(quant, params)
             try:
                 results[tag] = time_step(model, p, tag)
             except Exception as e:
