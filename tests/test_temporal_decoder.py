@@ -135,3 +135,45 @@ class TestTemporalDecoderConversion:
         )
         assert out.shape == (4, 3, 8, 8)
         assert _np.isfinite(_np.asarray(out)).all()
+
+
+class TestFullGraphTorchParity:
+    """Full temporal-decoder graph vs the independent torch realization
+    (tests/vae_oracle.py) at random weights — covers the spatio-temporal
+    blend, the frame-axis (3,1,1) convs, and time_conv_out
+    (/root/reference/sample/pipeline_latte.py:765-798)."""
+
+    def test_temporal_decode_full_graph(self):
+        import numpy as _np
+        import torch
+
+        from latte_tpu.tools.convert_vae import convert_temporal_decoder_state_dict
+        from tests.vae_oracle import TorchTemporalDecoderModel, randomize_
+
+        tdec = TorchTemporalDecoderModel(ch=(8, 16), layers=1, latent=4, groups=4)
+        tdec.eval()
+        randomize_(tdec, seed=3)  # nonzero mix factors: both branches active
+        params = convert_temporal_decoder_state_dict(
+            tdec.state_dict(), n_blocks=2, layers_per_block=1
+        )
+        dec = tiny_temporal_decoder()
+        rng = _np.random.default_rng(4)
+        z = rng.standard_normal((8, 4, 4, 4)).astype(_np.float32)  # 2 vids x 4f
+        with torch.no_grad():
+            ref = tdec(torch.from_numpy(z), num_frames=4).numpy()
+        ours = _np.asarray(
+            dec.apply(
+                {"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                jnp.asarray(z),
+                num_frames=4,
+            ),
+            _np.float32,
+        )
+        scale = max(_np.abs(ref).max(), 1.0)
+        _np.testing.assert_allclose(ours / scale, ref / scale, atol=1e-3, rtol=0)
+        # the blend must actually be temporal: shuffling frames changes pixels
+        zs = z.reshape(2, 4, 4, 4, 4)[:, ::-1].reshape(8, 4, 4, 4).copy()
+        with torch.no_grad():
+            ref_s = tdec(torch.from_numpy(zs), num_frames=4).numpy()
+        unshuffled = ref_s.reshape(2, 4, 3, 8, 8)[:, ::-1].reshape(8, 3, 8, 8)
+        assert not _np.allclose(unshuffled, ref, atol=1e-5)

@@ -221,3 +221,70 @@ class TestVAEConversion:
         )
         assert recon.shape == x.shape
         assert np.isfinite(np.asarray(recon)).all()
+
+
+class TestFullGraphTorchParity:
+    """Full encoder/decoder graph vs the independent torch AutoencoderKL
+    (tests/vae_oracle.py) at random weights — the I3D treatment for the
+    component every train step and FVD number flows through
+    (/root/reference/train.py:94,210, sample/sample.py:114)."""
+
+    def _build(self, ch, layers, groups, seed):
+        import torch
+
+        from latte_tpu.vae import AutoencoderKL
+        from tests.vae_oracle import TorchAutoencoderKL, randomize_
+
+        tvae = TorchAutoencoderKL(ch=ch, layers=layers, latent=4, groups=groups)
+        tvae.eval()
+        randomize_(tvae, seed=seed)
+        params = convert_vae_state_dict(
+            tvae.state_dict(), n_blocks=len(ch), layers_per_block=layers
+        )
+        fvae = AutoencoderKL(
+            block_out_channels=ch, layers_per_block=layers, groups=groups
+        )
+        return tvae, fvae, {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+
+    def _check(self, ours, ref):
+        ours = np.asarray(ours, np.float32)
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(ours / scale, ref / scale, atol=1e-3, rtol=0)
+
+    def test_encode_full_graph(self, rng_np):
+        import torch
+
+        tvae, fvae, variables = self._build((8, 16), 1, 4, seed=0)
+        x = rng_np.standard_normal((2, 3, 16, 16)).astype(np.float32)
+        with torch.no_grad():
+            ref = tvae.encode_moments(torch.from_numpy(x)).numpy()
+        post = fvae.apply(variables, jnp.asarray(x), method=fvae.encode)
+        ref_mean, ref_logvar = np.split(ref, 2, axis=1)
+        self._check(post.mean, ref_mean)
+        self._check(post.logvar, np.clip(ref_logvar, -30.0, 20.0))
+
+    def test_decode_full_graph(self, rng_np):
+        import torch
+
+        tvae, fvae, variables = self._build((8, 16), 1, 4, seed=1)
+        z = rng_np.standard_normal((2, 4, 8, 8)).astype(np.float32)
+        with torch.no_grad():
+            ref = tvae.decode(torch.from_numpy(z)).numpy()
+        ours = fvae.apply(variables, jnp.asarray(z), method=fvae.decode)
+        self._check(ours, ref)
+
+    def test_roundtrip_three_blocks(self, rng_np):
+        """Deeper config: two downsamples, conv_shortcut channel changes,
+        layers_per_block=2 — the SD-shape block pattern."""
+        import torch
+
+        tvae, fvae, variables = self._build((4, 8, 8), 2, 4, seed=2)
+        x = rng_np.standard_normal((1, 3, 16, 16)).astype(np.float32)
+        with torch.no_grad():
+            mom = tvae.encode_moments(torch.from_numpy(x))
+            zt = mom.chunk(2, dim=1)[0]  # mode
+            ref = tvae.decode(zt).numpy()
+        post = fvae.apply(variables, jnp.asarray(x), method=fvae.encode)
+        ours = fvae.apply(variables, post.mode(), method=fvae.decode)
+        assert post.mean.shape == (1, 4, 4, 4)  # 16 / 2**2
+        self._check(ours, ref)
