@@ -56,11 +56,11 @@ def load_detector(name: str, path: Optional[str] = None) -> Callable:
     protocol parity. ``flax``: weights converted out of the same
     torchscript file into the native Flax re-implementation, features
     extracted on-device under jit (the 2×2048-clip FVD protocol is hours
-    on torch-CPU, minutes on one chip). Currently i3d only; other
-    detectors fall back to torch.
+    on torch-CPU, minutes on one chip). Covers i3d (FVD), inception
+    (FID/KID/IS), and c3d (video IS).
     """
     backend = os.environ.get("LATTE_TPU_DETECTOR_BACKEND", "torch")
-    if backend == "flax" and name in ("i3d", "inception"):
+    if backend == "flax" and name in ("i3d", "inception", "c3d"):
         import torch
 
         if path is None:
@@ -77,6 +77,11 @@ def load_detector(name: str, path: Optional[str] = None) -> Callable:
             from latte_tpu.eval.i3d import convert_i3d_state_dict, i3d_flax_detector
 
             return i3d_flax_detector(convert_i3d_state_dict(sd))
+        if name == "c3d":
+            from latte_tpu.eval.c3d import c3d_flax_detector, convert_c3d_state_dict
+
+            params, mean = convert_c3d_state_dict(sd)
+            return c3d_flax_detector(params, mean)
         from latte_tpu.eval.inception import (
             convert_inception_state_dict,
             inception_flax_detector,

@@ -233,7 +233,7 @@ def fvd2048_128f_subsample8f(opts) -> Dict[str, float]:
 def isv2048_ucf(opts) -> Dict[str, float]:
     """Video inception score: 2048 clips, C3D-UCF101, 10 splits, pre-split
     shuffle with RandomState(42) (`video_inception_score.py:47`)."""
-    detector = opts.get("detector") or load_torchscript_detector("c3d")
+    detector = opts.get("detector") or load_detector("c3d")
     fake = _fake_video_stats(
         opts, detector, c3d_probs, opts.get("num_frames", 16), capture_all=True
     )
