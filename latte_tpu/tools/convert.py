@@ -82,16 +82,39 @@ def _stack(blocks) -> Any:
     return np.stack(blocks, axis=0)
 
 
+#: state_dict keys that are frozen buffers the Flax models recompute —
+#: legitimately not converted (`/root/reference/models/latte.py:246-247`).
+_FROZEN_BUFFERS = ("pos_embed", "temp_embed")
+
+
+class _TrackingDict(dict):
+    """Records which keys were actually consumed via ``[]`` so the converter
+    can refuse checkpoints containing weights it would silently drop."""
+
+    def __init__(self, d):
+        super().__init__(d)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
 def convert_latte_state_dict(
-    sd: Mapping[str, Any], depth: int, num_heads: int = 16
+    sd: Mapping[str, Any], depth: int, num_heads: int = 16, strict: bool = True
 ) -> Dict[str, Any]:
     """Convert a reference Latte/LatteIMG state_dict to our Flax params tree.
 
-    ``sd`` values may be torch tensors or numpy arrays.
+    ``sd`` values may be torch tensors or numpy arrays.  With ``strict``
+    (the default), raises if the checkpoint contains weight keys the mapping
+    does not consume (beyond the frozen sincos buffers) — a real published
+    checkpoint with unexpected extra layers must fail loudly, not convert
+    to a silently-lobotomized model.
     """
-    sd = {k: np.asarray(getattr(v, "detach", lambda: v)().cpu().numpy()
-                        if hasattr(v, "detach") else v)
-          for k, v in sd.items()}
+    sd = _TrackingDict(
+        {k: np.asarray(getattr(v, "detach", lambda: v)().cpu().numpy()
+                       if hasattr(v, "detach") else v)
+         for k, v in sd.items()})
 
     params: Dict[str, Any] = {}
 
@@ -129,6 +152,15 @@ def convert_latte_state_dict(
         "adaLN_modulation": _linear(sd, "final_layer.adaLN_modulation.1"),
         "linear": _linear(sd, "final_layer.linear"),
     }
+    if strict:
+        unconsumed = set(sd) - sd.consumed - set(_FROZEN_BUFFERS)
+        if unconsumed:
+            raise ValueError(
+                "checkpoint contains keys the converter does not map (would "
+                f"be silently dropped): {sorted(unconsumed)[:10]}"
+                + ("..." if len(unconsumed) > 10 else "")
+                + " — pass strict=False to drop them deliberately"
+            )
     return params
 
 

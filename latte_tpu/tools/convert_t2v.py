@@ -20,9 +20,14 @@ from typing import Any, Dict, Mapping
 
 import numpy as np
 
-from latte_tpu.tools.convert import _linear, _stack, _t
+from latte_tpu.tools.convert import _TrackingDict, _linear, _stack, _t
 
 __all__ = ["convert_t2v_state_dict"]
+
+#: frozen/unused buffers legitimately dropped: temp_pos_embed is recomputed
+#: (reference `latte_t2v.py:668-670`), caption_projection.y_embedding is the
+#: unused negative-prompt embedding table.
+_T2V_BUFFERS = ("temp_pos_embed", "caption_projection.y_embedding")
 
 
 def _attn(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, Any]:
@@ -59,13 +64,15 @@ def _temporal_block(sd, prefix):
     }
 
 
-def convert_t2v_state_dict(sd: Mapping[str, Any], num_layers: int) -> Dict[str, Any]:
-    sd = {
+def convert_t2v_state_dict(
+    sd: Mapping[str, Any], num_layers: int, strict: bool = True
+) -> Dict[str, Any]:
+    sd = _TrackingDict({
         k: np.asarray(
             getattr(v, "detach", lambda: v)().cpu().numpy() if hasattr(v, "detach") else v
         )
         for k, v in sd.items()
-    }
+    })
     params: Dict[str, Any] = {}
 
     w = sd["pos_embed.proj.weight"]  # (D, C, p, p)
@@ -98,6 +105,15 @@ def convert_t2v_state_dict(sd: Mapping[str, Any], num_layers: int) -> Dict[str, 
 
     params["scale_shift_table"] = np.asarray(sd["scale_shift_table"])
     params["proj_out"] = _linear(sd, "proj_out")
+    if strict:
+        unconsumed = set(sd) - sd.consumed - set(_T2V_BUFFERS)
+        if unconsumed:
+            raise ValueError(
+                "T2V checkpoint contains keys the converter does not map "
+                f"(would be silently dropped): {sorted(unconsumed)[:10]}"
+                + ("..." if len(unconsumed) > 10 else "")
+                + " — pass strict=False to drop them deliberately"
+            )
     return params
 
 
