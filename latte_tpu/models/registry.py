@@ -71,6 +71,11 @@ def get_models(args):
         # sharded mesh (tensor_parallel / dp / sp) must reject or drop
         # this flag — see models/layers.py AdaLNBlock.fused_adaln.
         common["fused_adaln"] = True
+    if getattr(args, "model_overrides", None):
+        # explicit architecture overrides (depth/hidden_size/num_heads/...):
+        # lets smoke tests and scaling sweeps shrink or reshape a registry
+        # config without registering a new name
+        common.update(dict(args.model_overrides))
     if getattr(args, "moe_experts", 0):
         # Mixture-of-Experts FF (models/moe.py) — beyond-reference scaling
         common["moe_experts"] = int(args.moe_experts)

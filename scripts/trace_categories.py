@@ -35,6 +35,7 @@ CATEGORIES = [
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--static", action="store_true", help="static-scale W8A8")
     ap.add_argument("--fused", action="store_true")
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--top", type=int, default=35)
@@ -49,7 +50,7 @@ def main():
         attention_mode="auto",
         unroll_blocks=True,
         fused_adaln=args.fused,
-        quantized=args.int8,
+        quantized="static" if args.static else args.int8,
         dtype=jnp.bfloat16,
     )
     diffusion = create_diffusion("ddim50")
