@@ -39,6 +39,7 @@ from typing import Any, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from jax import export as jax_export
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 AOT_SUFFIX = ".ltpu-aot"
 _MAGIC = b"LTPUAOT1"
@@ -62,6 +63,7 @@ def export_sampler(
     *,
     batch: int = 1,
     platforms: Optional[Sequence[str]] = None,
+    tensor_parallel: int = 1,
 ) -> Tuple[jax_export.Exported, dict]:
     """Export the full sampling trajectory for ``model`` as StableHLO.
 
@@ -69,6 +71,15 @@ def export_sampler(
     shapes/dtypes matter. ``platforms`` defaults to ("tpu", "cpu"): the
     artifact carries both lowerings, so the same blob serves the TPU
     fleet and runs in CPU CI.
+
+    ``tensor_parallel > 1`` exports a SHARDED trajectory: params carry the
+    Megatron split (`dist/sharding.param_shardings`) over a (dp=1, tp=N)
+    mesh, z/y/rng replicate, and the exported StableHLO embeds the
+    per-block psums. The artifact then requires exactly N devices at call
+    time (`jax.export` pins nr_devices); :func:`load_sampler` re-creates
+    the mesh and places the weights per this convention. Matches the live
+    `sample.py tensor_parallel: N` serving semantics, latents-parity
+    tested against it.
 
     Returns (Exported, header_dict).
     """
@@ -83,12 +94,46 @@ def export_sampler(
 
     sample_impl, use_cfg = _build_sample_impl(model, config, diffusion)
 
-    z_spec = jax.ShapeDtypeStruct((batch, frames, in_ch, latent, latent), jnp.float32)
-    y_spec = jax.ShapeDtypeStruct((batch,), jnp.int32) if extras == 2 else None
-    rng_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
-    p_spec = jax.tree_util.tree_map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params
-    )
+    z_shape = (batch, frames, in_ch, latent, latent)
+    tp = int(tensor_parallel or 1)
+    if tp > 1:
+        if getattr(model, "fused_adaln", False):
+            raise ValueError(
+                "fused_adaln does not compose with tensor_parallel export "
+                "(the Pallas adaLN kernels are opaque to the SPMD partitioner)"
+            )
+        from latte_tpu.dist.mesh import MeshConfig, make_mesh
+        from latte_tpu.dist.sharding import param_shardings
+
+        if len(jax.devices()) < tp:
+            raise ValueError(
+                f"tensor_parallel={tp} export needs {tp} devices to trace "
+                f"the sharded program, have {len(jax.devices())}"
+            )
+        mesh = make_mesh(MeshConfig(dp=1, tp=tp), devices=jax.devices()[:tp])
+        p_shard = param_shardings(params, mesh)
+        rep = NamedSharding(mesh, P())
+        p_spec = jax.tree_util.tree_map(
+            lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+            params,
+            p_shard,
+        )
+        z_spec = jax.ShapeDtypeStruct(z_shape, jnp.float32, sharding=rep)
+        y_spec = (
+            jax.ShapeDtypeStruct((batch,), jnp.int32, sharding=rep)
+            if extras == 2
+            else None
+        )
+        rng_spec = jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep)
+        jit_kw = {"out_shardings": rep}
+    else:
+        z_spec = jax.ShapeDtypeStruct(z_shape, jnp.float32)
+        y_spec = jax.ShapeDtypeStruct((batch,), jnp.int32) if extras == 2 else None
+        rng_spec = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        p_spec = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params
+        )
+        jit_kw = {}
 
     if y_spec is None:
         fn = lambda p, z, rng: sample_impl(p, z, None, rng)
@@ -98,7 +143,7 @@ def export_sampler(
         args = (p_spec, z_spec, y_spec, rng_spec)
 
     exported = jax_export.export(
-        jax.jit(fn), platforms=tuple(platforms or ("tpu", "cpu"))
+        jax.jit(fn, **jit_kw), platforms=tuple(platforms or ("tpu", "cpu"))
     )(*args)
 
     header = {
@@ -108,9 +153,10 @@ def export_sampler(
         "cfg": bool(use_cfg),
         "extras": extras,
         "batch": batch,
-        "z_shape": list(z_spec.shape),
+        "z_shape": list(z_shape),
         "takes_y": y_spec is not None,
         "platforms": list(exported.platforms),
+        "tensor_parallel": tp,
     }
     return exported, header
 
@@ -131,7 +177,11 @@ def load_sampler(path: str):
     """Read an artifact; returns (call_fn, header).
 
     ``call_fn(params, z[, y], rng)`` executes the exported trajectory on
-    the ambient backend (must be one of the artifact's platforms).
+    the ambient backend (must be one of the artifact's platforms). For a
+    ``tensor_parallel > 1`` artifact the loader re-creates the mesh the
+    artifact was exported under (first N ambient devices, dp=1 × tp=N) and
+    places the arguments per the artifact's convention — host-resident
+    params arrive Megatron-split, z/y/rng replicated — before calling.
     """
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
@@ -140,6 +190,28 @@ def load_sampler(path: str):
         (hlen,) = struct.unpack("<I", f.read(4))
         header = json.loads(f.read(hlen).decode("utf-8"))
         exported = jax_export.deserialize(f.read())
+
+    tp = int(header.get("tensor_parallel", 1) or 1)
+    if tp > 1:
+        from latte_tpu.dist.mesh import MeshConfig, make_mesh
+        from latte_tpu.dist.sharding import param_shardings
+
+        if len(jax.devices()) < tp:
+            raise ValueError(
+                f"artifact was exported tensor_parallel={tp}; "
+                f"{len(jax.devices())} devices available"
+            )
+        mesh = make_mesh(MeshConfig(dp=1, tp=tp), devices=jax.devices()[:tp])
+        rep = NamedSharding(mesh, P())
+
+        def call(params, *rest):
+            p_shard = param_shardings(params, mesh)
+            params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+            rest = tuple(jax.device_put(a, rep) for a in rest)
+            return exported.call(params, *rest)
+
+        call.tp_mesh = mesh
+        return call, header
 
     def call(params, *rest):
         return exported.call(params, *rest)

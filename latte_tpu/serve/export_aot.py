@@ -25,7 +25,7 @@ from latte_tpu.serve.aot import AOT_SUFFIX, export_sampler, save_sampler
 from latte_tpu.utils import create_logger
 
 
-def main(config, out: str, batch: int = 1, platforms=None) -> str:
+def main(config, out: str, batch: int = 1, platforms=None, tensor_parallel=None) -> str:
     logger = create_logger(None)
     model = get_models(config)
     frames = int(getattr(config, "num_frames", 16))
@@ -49,9 +49,14 @@ def main(config, out: str, batch: int = 1, platforms=None) -> str:
         str(getattr(config, "num_sampling_steps", 250)),
         diffusion_steps=int(getattr(config, "diffusion_steps", 1000)),
     )
+    tp = int(
+        tensor_parallel
+        if tensor_parallel is not None
+        else getattr(config, "tensor_parallel", 1) or 1
+    )
     exported, header = export_sampler(
         model, config, diffusion, params_shapes, batch=batch,
-        platforms=platforms,
+        platforms=platforms, tensor_parallel=tp,
     )
     if not out.endswith(AOT_SUFFIX):
         out += AOT_SUFFIX
@@ -66,6 +71,10 @@ def cli():
     p.add_argument("--out", required=True)
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--platforms", default="tpu,cpu")
+    p.add_argument(
+        "--tensor_parallel", type=int, default=None,
+        help="export a tp=N sharded trajectory (defaults to the config key)",
+    )
     p.add_argument("overrides", nargs="*")
     a = p.parse_args()
     main(
@@ -73,6 +82,7 @@ def cli():
         a.out,
         batch=a.batch,
         platforms=[s.strip() for s in a.platforms.split(",") if s.strip()],
+        tensor_parallel=a.tensor_parallel,
     )
 
 

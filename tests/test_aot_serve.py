@@ -127,3 +127,76 @@ class TestAotRoundtrip:
         z = jnp.zeros((1, 2, 4, 2, 2))
         out = call(params, z, jax.random.PRNGKey(0))  # runs via the cpu lowering
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestAotTensorParallel:
+    """tp=2 sharded artifacts (VERDICT r3 item 7): the exported StableHLO
+    embeds the Megatron per-block psums; the loader re-creates the tp mesh
+    and places host params per the artifact's convention."""
+
+    def test_tp2_artifact_matches_single_device_sampler(self, tmp_path):
+        cfg, model, diffusion, params = _tiny(extras=1)
+        exported, header = export_sampler(
+            model, cfg, diffusion, params, platforms=("cpu",), tensor_parallel=2
+        )
+        assert header["tensor_parallel"] == 2
+        assert exported.nr_devices == 2
+        path = save_sampler(str(tmp_path / "tp2.ltpu-aot"), exported, header)
+        call, hdr = load_sampler(path)
+        assert hdr["tensor_parallel"] == 2
+        assert tuple(call.tp_mesh.shape.values()) == (1, 2)
+
+        z = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 4, 2, 2))
+        rng = jax.random.PRNGKey(7)
+        host_params = jax.device_get(params)  # serving hosts load from disk
+        got = np.asarray(call(host_params, z, rng))
+
+        sample_impl, _ = _build_sample_impl(model, cfg, diffusion)
+        want = np.asarray(
+            jax.jit(lambda p, zz, r: sample_impl(p, zz, None, r))(params, z, rng)
+        )
+        # collectives reorder reductions vs the single-device program
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+    def test_tp2_artifact_cfg_matches_live_tp_sampler(self, tmp_path):
+        """Parity against the LIVE tensor_parallel=2 sampler too (same
+        sharding convention -> same program up to export)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from latte_tpu.dist.mesh import MeshConfig, make_mesh
+        from latte_tpu.dist.sharding import param_shardings
+
+        cfg, model, diffusion, params = _tiny(extras=2)
+        exported, header = export_sampler(
+            model, cfg, diffusion, params, batch=2, platforms=("cpu",),
+            tensor_parallel=2,
+        )
+        path = save_sampler(str(tmp_path / "tp2cfg.ltpu-aot"), exported, header)
+        call, _ = load_sampler(path)
+
+        z = jax.random.normal(jax.random.PRNGKey(5), (2, 2, 4, 2, 2))
+        y = jnp.array([1, 4], jnp.int32)
+        rng = jax.random.PRNGKey(9)
+        got = np.asarray(call(jax.device_get(params), z, y, rng))
+
+        mesh = make_mesh(MeshConfig(dp=1, tp=2), devices=jax.devices()[:2])
+        p_shard = param_shardings(params, mesh)
+        sp = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+        rep = NamedSharding(mesh, P())
+        sample_impl, _ = _build_sample_impl(model, cfg, diffusion)
+        live = jax.jit(sample_impl, in_shardings=(p_shard, rep, rep, None))
+        want = np.asarray(live(sp, jax.device_put(z, rep), jax.device_put(y, rep), rng))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+    def test_tp2_refused_below_device_count(self, tmp_path, monkeypatch):
+        cfg, model, diffusion, params = _tiny(extras=1)
+        exported, header = export_sampler(
+            model, cfg, diffusion, params, platforms=("cpu",), tensor_parallel=2
+        )
+        path = save_sampler(str(tmp_path / "tp2r.ltpu-aot"), exported, header)
+        import latte_tpu.serve.aot as aot_mod
+
+        one = jax.devices()[:1]
+        monkeypatch.setattr(aot_mod.jax, "devices", lambda *a: list(one))
+        with pytest.raises(ValueError, match="tensor_parallel=2"):
+            load_sampler(path)
