@@ -43,6 +43,7 @@ def make_train_step(
     apply_fn: Optional[Callable] = None,
     grad_accum: int = 1,
     moe_aux_weight: float = 0.0,
+    vae_scale: float = 0.18215,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray], jax.Array], Tuple[TrainState, Dict]]:
     """Build the jittable train step.
 
@@ -83,6 +84,21 @@ def make_train_step(
             latents = jax.lax.stop_gradient(
                 encode_fn(video, rng_vae, encode_params)
             )
+        elif "latent_mean" in batch:
+            # latent-cache path (tools/cache_latents.py): the dataset was
+            # VAE-encoded ONCE offline; the cache stores the posterior
+            # MOMENTS, so each step still draws a fresh posterior sample —
+            # statistically identical to online encoding at zero encode
+            # FLOPs. Sampling mirrors DiagonalGaussianDistribution.sample
+            # on the frame-flattened (B·F, C, h, w) layout so losses match
+            # the fused-encode path bit-for-bit given the same rng.
+            mean, std = batch["latent_mean"], batch["latent_std"]
+            Bm, Fm = mean.shape[:2]
+            flat = (Bm * Fm,) + mean.shape[2:]
+            eps = jax.random.normal(rng_vae, flat, dtype=mean.dtype)
+            latents = (
+                (mean.reshape(flat) + std.reshape(flat) * eps) * vae_scale
+            ).reshape(mean.shape)
         else:
             latents = batch["latents"]
         B = latents.shape[0]

@@ -79,7 +79,19 @@ def build_encode_fn(config):
         z = post.sample(rng) * scale
         return z.reshape(B, F, *z.shape[1:])
 
+    encode.raw = lambda flat, params: vae.apply(params, flat, method=vae.encode)
     return encode, vae_params
+
+
+def build_encode_fn_raw(config):
+    """The same frozen VAE as :func:`build_encode_fn`, exposed as a raw
+    posterior encoder ``(flat_pixels, params) -> DiagonalGaussian`` — used
+    by `tools/cache_latents.py` to store posterior moments offline."""
+    built = build_encode_fn(config)
+    if built is None:
+        raise ValueError("latent caching needs vae_ckpt set in the config")
+    encode, vae_params = built
+    return encode.raw, vae_params
 
 
 def make_batch_iterator(config, logger, global_batch: int):
@@ -92,6 +104,28 @@ def make_batch_iterator(config, logger, global_batch: int):
     frames = int(getattr(config, "num_frames", 16)) + int(
         getattr(config, "use_image_num", 0) or 0
     )
+    from latte_tpu.data.latents import LatentCacheDataset, is_latent_cache
+
+    if is_latent_cache(data_path):
+        # offline-encoded posterior moments (tools/cache_latents.py): the
+        # per-step VAE encode disappears; the step samples from the cached
+        # moments (train/step.py "latent_mean" branch)
+        from latte_tpu.data import DataLoader
+
+        dataset = LatentCacheDataset(data_path)
+        logger.info(
+            f"latent cache {data_path}: {len(dataset)} items "
+            f"({dataset.meta['frames']}f, latent {dataset.meta['latent_shape']})"
+        )
+        loader = DataLoader(
+            dataset,
+            batch_size=global_batch,
+            num_workers=int(getattr(config, "num_workers", 4) or 4),
+            seed=int(getattr(config, "global_seed", 0)),
+            shard_id=jax.process_index(),
+            num_shards=jax.process_count(),
+        )
+        return iter(loader), "latents_cached"
     if os.path.isdir(data_path):
         from latte_tpu.data import DataLoader, get_dataset
 
