@@ -184,12 +184,16 @@ def main() -> None:
         except Exception as e:  # relay backends may not expose cost analysis
             extra["mfu_error"] = repr(e)[:120]
 
-        # --- W8A8 int8 serving: same DDIM protocol with the quantized
-        # model (weights int8 per-output-channel, activations dynamic
-        # per-token; latte_tpu/quant). Scripts/bench_int8.py measured the
-        # bare forward at ~2.05x bf16 on this chip.
+        # --- W8A8 int8 serving: same DDIM protocol with the STATIC-scale
+        # quantized model (weights int8 per-output-channel offline;
+        # activations int8 with CALIBRATED per-tensor scales, so the
+        # quantize fuses into each producer — no dynamic amax pass).
+        # Measured r4 (interleaved A/B/A, scripts/bench_int8_ab.py):
+        # static 22.6 ms/step vs dynamic 23.8 vs bf16 32.8 on the same
+        # relay session. Constant-baked weights and 2D-flattened dots were
+        # both tried and do NOT win (docs/tpu_notes.md, round-4 int8 notes).
         try:
-            qmodel = model.clone(quantized=True)
+            qmodel = model.clone(quantized="static")
             qshapes = jax.eval_shape(
                 lambda: qmodel.init(
                     {"params": rng}, jnp.zeros(x_shape, jnp.float32), t0c
@@ -245,16 +249,19 @@ def main() -> None:
             extra["videos_per_min_int8_serving"] = round(
                 BATCH * 60.0 / q_elapsed, 3
             )
+            extra["int8_mode"] = "static-W8A8"
 
         except Exception as e:
             extra["int8_error"] = repr(e)[:120]
 
         try:
             # --- int8 end-task quality guard: identical x_T through the
-            # bf16 and int8 DDIM-50 chains with SHARED random weights (the
-            # timing runs above use zero weights — value-independent for
-            # speed, useless for quality). The compiled samplers are reused
-            # (same shapes/dtypes), so this costs ~2 extra chains.
+            # bf16 and static-int8 DDIM-50 chains with SHARED random
+            # weights (the timing runs above use zero weights —
+            # value-independent for speed, useless for quality). Runs the
+            # full static serving recipe: a calibration forward sows
+            # per-layer activation amax, quantize_params folds it into
+            # act_scale leaves. The compiled samplers are reused.
             from latte_tpu.quant import quantize_params
 
             leaves, treedef = jax.tree_util.tree_flatten(shapes)
@@ -271,7 +278,24 @@ def main() -> None:
                 )
 
             rparams = init_rand()
-            rqparams = {"params": quantize_params(rparams["params"])}
+            cmodel = model.clone(quantized="calib", unroll_blocks=False)
+            zc = jax.random.normal(jax.random.PRNGKey(11), x_shape, jnp.float32)
+
+            @jax.jit
+            def calib_amax(p, x, t_scalar):
+                t = jnp.full((x.shape[0],), t_scalar, jnp.int32)
+                _, variables = cmodel.apply(p, x, t, mutable=["calib"])
+                return variables["calib"]
+
+            amax = None
+            for tc in (999, 500, 0):  # representative timesteps
+                a = calib_amax(rparams, zc, jnp.int32(tc))
+                amax = a if amax is None else jax.tree_util.tree_map(
+                    jnp.maximum, amax, a
+                )
+            rqparams = {
+                "params": quantize_params(rparams["params"], act_amax=amax)
+            }
             zq0 = jax.random.normal(jax.random.PRNGKey(11), x_shape, jnp.float32)
             lat_bf16 = np.asarray(sample_scan(rparams, zq0), np.float64)
             lat_int8 = np.asarray(q_scan(rqparams, zq0), np.float64)

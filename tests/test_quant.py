@@ -178,6 +178,71 @@ class TestQuantizedModel:
         assert rel < 0.08, rel
         assert cos > 0.995, cos
 
+    def test_static_calibrated_parity(self):
+        """The full static-scale W8A8 serving recipe: calib forward sows
+        per-layer activation amax (scan-stacked), quantize_params folds it
+        into act_scale leaves, and the quantized='static' model matches the
+        fp forward about as well as the dynamic path does."""
+        fp = self._model_and_params(False)
+        calib_m = self._model_and_params("calib")
+        static_m = self._model_and_params("static")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 4, 8, 8))
+        t = jnp.array([10, 500], jnp.int32)
+        params = fp.init({"params": jax.random.PRNGKey(1)}, x, t)["params"]
+        params["final_layer"]["linear"]["kernel"] = (
+            jax.random.normal(
+                jax.random.PRNGKey(2),
+                params["final_layer"]["linear"]["kernel"].shape,
+            )
+            * 0.02
+        )
+        out_fp = fp.apply({"params": params}, x, t)
+
+        # calibration pass over representative inputs (two timesteps)
+        _, variables = calib_m.apply({"params": params}, x, t, mutable=["calib"])
+        amax = variables["calib"]
+        # scan-stacked: one amax per scanned pair per layer
+        assert np.asarray(
+            amax["blocks"]["spatial"]["attn"]["qkv"]["act_amax"]
+        ).shape == (1,)
+
+        qparams = quantize_params(params, act_amax=amax)
+        blk = qparams["blocks"]["spatial"]["attn"]["qkv"]
+        assert "act_scale" in blk and "kernel_i8" in blk
+        out_s = static_m.apply({"params": qparams}, x, t)
+        a, b = np.asarray(out_s, np.float64), np.asarray(out_fp, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert rel < 0.1, rel
+        assert cos > 0.99, cos
+
+    def test_static_unseen_inputs_stay_bounded(self):
+        """Static scales calibrated on one batch must still serve other
+        inputs from the same distribution (clipping, not blow-up)."""
+        fp = self._model_and_params(False)
+        calib_m = self._model_and_params("calib")
+        static_m = self._model_and_params("static")
+        x0 = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 4, 8, 8))
+        t0 = jnp.array([10, 500], jnp.int32)
+        params = fp.init({"params": jax.random.PRNGKey(1)}, x0, t0)["params"]
+        params["final_layer"]["linear"]["kernel"] = (
+            jax.random.normal(
+                jax.random.PRNGKey(2),
+                params["final_layer"]["linear"]["kernel"].shape,
+            )
+            * 0.02
+        )
+        _, variables = calib_m.apply({"params": params}, x0, t0, mutable=["calib"])
+        qparams = quantize_params(params, act_amax=variables["calib"])
+        x1 = jax.random.normal(jax.random.PRNGKey(7), (2, 2, 4, 8, 8))
+        t1 = jnp.array([250, 999], jnp.int32)
+        out_fp = fp.apply({"params": params}, x1, t1)
+        out_s = static_m.apply({"params": qparams}, x1, t1)
+        a, b = np.asarray(out_s, np.float64), np.asarray(out_fp, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        assert np.isfinite(a).all()
+        assert rel < 0.15, rel
+
     def test_latte_img_parity(self):
         from latte_tpu.models.dit_img import LatteIMG
 
