@@ -352,6 +352,61 @@ def main() -> None:
         except Exception as e:
             extra["decode_error"] = repr(e)[:120]
 
+        # --- 128-frame long-video protocol (the fvd2048_128f shape,
+        # `/root/reference/tools/metrics/metric_main.py:121-132`): one
+        # DDIM-50 trajectory as a single on-device scan, bf16 and
+        # static-int8. Attention dispatch measured at these exact shapes
+        # (docs/tpu_notes.md round 4): XLA beats the flash kernel at both
+        # the spatial (128,256,16,72) and temporal (256,128,16,72)
+        # layouts, so "auto" routing is already optimal — the 128f lever
+        # is the same static-int8 arithmetic as 16f serving.
+        try:
+            x128_shape = (BATCH, 128, 4, 32, 32)
+            for tag, m128, p128 in (
+                ("videos_per_min_128f", model.clone(unroll_blocks=False, num_frames=128), None),
+                (
+                    "videos_per_min_128f_int8",
+                    model.clone(
+                        unroll_blocks=False, num_frames=128, quantized="static"
+                    ),
+                    None,
+                ),
+            ):
+                shapes128 = jax.eval_shape(
+                    lambda m=m128: m.init(
+                        {"params": rng},
+                        jnp.zeros(x128_shape, jnp.float32),
+                        t0c,
+                    )
+                )
+
+                @jax.jit
+                def init_128(shapes128=shapes128):
+                    def mk(s):
+                        if s.dtype == jnp.int8:
+                            return jnp.zeros(s.shape, jnp.int8)
+                        if s.dtype == jnp.float32:
+                            return jnp.full(s.shape, 0.01, jnp.float32)
+                        return jnp.zeros(s.shape, jnp.bfloat16)
+
+                    return jax.tree_util.tree_map(mk, shapes128)
+
+                p128 = init_128()
+                scan128 = make_scan_sampler(m128)
+                z128 = jax.random.normal(
+                    jax.random.PRNGKey(21), x128_shape, jnp.float32
+                )
+                np.asarray(scan128(p128, z128)[0, 0, 0, 0, 0])  # compile
+                t0 = time.perf_counter()
+                z128 = scan128(p128, z128)
+                v128 = np.asarray(z128[0, 0, 0, 0, 0])
+                assert np.isfinite(v128)
+                extra[tag] = round(
+                    BATCH * 60.0 / (time.perf_counter() - t0), 3
+                )
+        except Exception as e:
+            extra["bench128f_error"] = repr(e)[:120]
+
     print(
         json.dumps(
             {

@@ -204,15 +204,49 @@ def main(config: Config) -> str:
         )()
         logger.info("WARNING: no checkpoint found — sampling from random init")
 
-    # W8A8 int8 serving (`quantized: true`): quantize the loaded fp params
-    # once and run the hot block matmuls int8 on the MXU (latte_tpu/quant;
-    # ~2x the bf16 forward on v5e, measured docs/tpu_notes.md)
-    if bool(getattr(config, "quantized", False)):
+    # W8A8 int8 serving: `quantized: true` quantizes the loaded fp params
+    # once with DYNAMIC per-token activation scales; `quantized: static`
+    # additionally runs a short calibration (three representative
+    # timesteps over a seeded z) and folds the activation amax into
+    # static per-tensor scales — the quantize then fuses into each
+    # producer (measured 22.6 vs 23.8 ms/step at XL/2 DDIM-50,
+    # docs/tpu_notes.md round 4).
+    qmode = getattr(config, "quantized", False)
+    if qmode:
         from latte_tpu.quant import quantize_params
 
-        model = model.clone(quantized=True)
-        params = {"params": quantize_params(params["params"])}
-        logger.info("serving with W8A8 int8 block matmuls")
+        if str(qmode) == "static":
+            import jax as _jax
+
+            calib_m = model.clone(quantized="calib")
+            zshape = (
+                1,
+                int(getattr(config, "num_frames", 16)),
+                int(getattr(config, "in_channels", 4)),
+                int(getattr(config, "latent_size", 0) or int(config.image_size) // 8),
+            )
+            zshape = zshape + (zshape[-1],)
+            zc = _jax.random.normal(_jax.random.PRNGKey(0), zshape, jnp.float32)
+
+            @_jax.jit
+            def _amax(p, x, t_scalar):
+                t = jnp.full((x.shape[0],), t_scalar, jnp.int32)
+                _, variables = calib_m.apply(p, x, t, mutable=["calib"])
+                return variables["calib"]
+
+            amax = None
+            for tc in (999, 500, 0):
+                a = _amax(params, zc, jnp.int32(tc))
+                amax = a if amax is None else _jax.tree_util.tree_map(
+                    jnp.maximum, amax, a
+                )
+            model = model.clone(quantized="static")
+            params = {"params": quantize_params(params["params"], act_amax=amax)}
+            logger.info("serving with static-scale W8A8 int8 block matmuls")
+        else:
+            model = model.clone(quantized=True)
+            params = {"params": quantize_params(params["params"])}
+            logger.info("serving with W8A8 int8 block matmuls")
 
     diffusion = create_diffusion(str(config.num_sampling_steps))
     sample_fn, use_cfg = build_sample_fn(model, params, config, diffusion)

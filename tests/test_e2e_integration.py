@@ -124,6 +124,14 @@ class TestEndToEnd:
         assert q_latents.shape == latents.shape
         assert np.isfinite(q_latents).all()
 
+        # --- static-scale W8A8 (CLI-side calibration) ---
+        sample_cfg.update(
+            {"quantized": "static", "save_video_path": str(tmp_path / "gen" / "qs.mp4")}
+        )
+        qs_latents = np.load(sample_main(sample_cfg))["latents"]
+        assert qs_latents.shape == latents.shape
+        assert np.isfinite(qs_latents).all()
+
         # --- metric over real video dirs (fake detector) ---
         from latte_tpu.eval.metrics import calc_metric
 

@@ -300,6 +300,42 @@ class TestQuantizedModel:
         rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
         assert rel < 0.08, rel
 
+    def test_t2v_static_calibrated_parity(self):
+        """calib -> quantize_params(act_amax) -> static serving on the
+        LatteT2V blocks (attn1/attn2 cross-attention + geglu ff)."""
+        from latte_tpu.models.t2v import LatteT2V
+
+        cfg = dict(
+            num_attention_heads=2,
+            attention_head_dim=16,
+            num_layers=2,
+            patch_size=2,
+            sample_size=8,
+            cross_attention_dim=32,
+            caption_channels=64,
+            video_length=4,
+            attention_mode="xla",
+        )
+        fp = LatteT2V(**cfg)
+        calib_m = LatteT2V(**cfg, quantized="calib")
+        static_m = LatteT2V(**cfg, quantized="static")
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 16, 16))
+        t = jnp.array([37])
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 10, 64))
+        mask = jnp.ones((1, 10), jnp.int32)
+        params = fp.init({"params": jax.random.PRNGKey(2)}, x, t, ctx, mask)["params"]
+        out_fp = fp.apply({"params": params}, x, t, ctx, mask)
+        _, variables = calib_m.apply(
+            {"params": params}, x, t, ctx, mask, mutable=["calib"]
+        )
+        qparams = quantize_params(params, act_amax=variables["calib"])
+        blk = qparams["blocks"]["spatial"]["attn1"]["to_q"]
+        assert "act_scale" in blk and "kernel_i8" in blk
+        out_s = static_m.apply({"params": qparams}, x, t, ctx, mask)
+        a, b = np.asarray(out_s, np.float64), np.asarray(out_fp, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        assert rel < 0.1, rel
+
 
 class TestEndTaskQuality:
     def test_ddim_chain_latent_parity(self):
