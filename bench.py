@@ -352,6 +352,60 @@ def main() -> None:
         except Exception as e:
             extra["decode_error"] = repr(e)[:120]
 
+        # --- block-cache serving (core/block_cache.py): training-free
+        # Δ-DiT/BlockDance-style acceleration — the front 9 of 14 pairs
+        # recompute every 2nd DDIM step. Composes with static int8. The
+        # fidelity number is measured on RANDOM weights (real checkpoints
+        # are egress-blocked); feature similarity across timesteps is a
+        # property of trained nets, so treat it as a mechanism guard, not
+        # a final quality claim.
+        try:
+            from latte_tpu.core.block_cache import cached_sample_loop
+
+            BC_K, BC_INT = 9, 2
+            qmodel_scan = qmodel.clone(unroll_blocks=False)
+
+            @jax.jit
+            def bc_int8(z):
+                return cached_sample_loop(
+                    diffusion, qmodel_scan, {"params": qparams["params"]}, z,
+                    cache_pairs=BC_K, cache_interval=BC_INT,
+                )
+
+            zb = jax.random.normal(jax.random.PRNGKey(31), x_shape, jnp.float32)
+            np.asarray(bc_int8(zb)[0, 0, 0, 0, 0])  # compile
+            t0 = time.perf_counter()
+            for _ in range(n_runs):
+                zb = bc_int8(zb)
+            vb = np.asarray(zb[0, 0, 0, 0, 0])
+            assert np.isfinite(vb)
+            extra["videos_per_min_int8_block_cache"] = round(
+                BATCH * n_runs * 60.0 / (time.perf_counter() - t0), 3
+            )
+
+            # fidelity: cached vs exact chain on shared random weights
+            @jax.jit
+            def bc_bf16(p, z):
+                return cached_sample_loop(
+                    diffusion, scan_model, p, z,
+                    cache_pairs=BC_K, cache_interval=BC_INT,
+                )
+
+            lat_bc = np.asarray(bc_bf16(rparams, zq0), np.float64)
+            if np.isfinite(lat_bc).all() and np.isfinite(lat_bf16).all():
+                cos = float(
+                    (lat_bc * lat_bf16).sum()
+                    / (np.linalg.norm(lat_bc) * np.linalg.norm(lat_bf16) + 1e-12)
+                )
+                rel = float(
+                    np.linalg.norm(lat_bc - lat_bf16)
+                    / (np.linalg.norm(lat_bf16) + 1e-12)
+                )
+                extra["block_cache_latent_cos"] = round(cos, 4)
+                extra["block_cache_latent_rel_err"] = round(rel, 4)
+        except Exception as e:
+            extra["block_cache_error"] = repr(e)[:120]
+
         # --- 128-frame long-video protocol (the fvd2048_128f shape,
         # `/root/reference/tools/metrics/metric_main.py:121-132`): one
         # DDIM-50 trajectory as a single on-device scan, bf16 and

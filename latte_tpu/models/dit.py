@@ -80,6 +80,10 @@ class SpatioTemporalPair(nn.Module):
     moe_capacity_factor: float = 1.25
     moe_ep_axis: Optional[str] = None
     fused_adaln: bool = False
+    # >= 0: the scan carry grows a `saved` slot capturing the activation
+    # AFTER pair index save_front_idx (block-cache serving, see
+    # `Latte.__call__` return_front) — params are unaffected
+    save_front_idx: int = -1
     dtype: jnp.dtype = jnp.float32
 
     def _constrain(self, x):
@@ -92,10 +96,15 @@ class SpatioTemporalPair(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,
+        carry,
         cond: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
         is_first: jnp.ndarray,
     ):
+        if self.save_front_idx >= 0:
+            x, saved = carry
+            is_first, save_flag = is_first
+        else:
+            x = carry
         c_spatial, c_temp, temp_embed = cond
         F = temp_embed.shape[1]
         BF, T, D = x.shape
@@ -144,7 +153,11 @@ class SpatioTemporalPair(nn.Module):
 
         # (b t) f d -> (b f) t d
         x = x.reshape(B, T, F, D).transpose(0, 2, 1, 3).reshape(B * F, T, D)
-        return self._constrain(x), None
+        x = self._constrain(x)
+        if self.save_front_idx >= 0:
+            saved = jnp.where(save_flag, x, saved)
+            return (x, saved), None
+        return x, None
 
 
 class Latte(nn.Module):
@@ -208,27 +221,51 @@ class Latte(nn.Module):
         y: Optional[jnp.ndarray] = None,
         text_embedding: Optional[jnp.ndarray] = None,
         train: bool = False,
+        front_state: Optional[jnp.ndarray] = None,
+        start_pair: int = 0,
+        return_front: int = 0,
     ) -> jnp.ndarray:
+        """Standard forward, plus the block-cache serving staging hooks
+        (training-free DiT acceleration in the Δ-DiT / BlockDance family —
+        front-of-stack features are structurally similar across adjacent
+        diffusion timesteps, so a sampler may recompute them only every
+        Nth step):
+
+        - ``return_front=k`` (static, full forward): additionally return
+          the activation after pair k — ``(out, front_k)``.
+        - ``front_state=..., start_pair=k`` (static, partial forward): skip
+          patchify/pos-embed and pairs 0..k-1, resuming the pair stack from
+          the given activation. The caller slices the stacked ``blocks``
+          params to ``[k:]`` (`latte_tpu/core/block_cache.py` does both).
+        """
+        if return_front and front_state is not None:
+            raise ValueError("return_front and front_state are exclusive")
+        if (front_state is None) != (start_pair == 0):
+            raise ValueError("front_state and start_pair must be set together")
         B, F, C, H, W = x.shape
         in_dtype = x.dtype
         p = self.patch_size
 
-        x = x.reshape(B * F, C, H, W)
-        x = PatchEmbed(
-            patch_size=p,
-            hidden_size=self.hidden_size,
-            dtype=self.dtype,
-            name="x_embedder",
-        )(x)
-        T = x.shape[1]
-
-        pos_embed = jnp.asarray(
-            get_2d_sincos_pos_embed(self.hidden_size, H // p), dtype=self.dtype
-        )[None]
         temp_embed = jnp.asarray(
             get_1d_sincos_pos_embed(self.hidden_size, F), dtype=self.dtype
         )[None]
-        x = x + pos_embed
+        if front_state is None:
+            x = x.reshape(B * F, C, H, W)
+            x = PatchEmbed(
+                patch_size=p,
+                hidden_size=self.hidden_size,
+                dtype=self.dtype,
+                name="x_embedder",
+            )(x)
+            T = x.shape[1]
+
+            pos_embed = jnp.asarray(
+                get_2d_sincos_pos_embed(self.hidden_size, H // p), dtype=self.dtype
+            )[None]
+            x = x + pos_embed
+        else:
+            x = front_state
+            T = x.shape[1]
 
         t_emb = TimestepEmbedder(
             hidden_size=self.hidden_size, dtype=self.dtype, name="t_embedder"
@@ -259,7 +296,7 @@ class Latte(nn.Module):
             c_spatial = c_spatial + jnp.repeat(txt, F, axis=0)
             c_temp = c_temp + jnp.repeat(txt, T, axis=0)
 
-        n_pairs = self.depth // 2
+        n_pairs = self.depth // 2 - start_pair
         pair_cls = SpatioTemporalPair
         if self.gradient_checkpointing:
             policy = _remat_policy(self.remat_policy)
@@ -276,8 +313,20 @@ class Latte(nn.Module):
             length=n_pairs,
             unroll=n_pairs if self.unroll_blocks else 1,
         )
-        is_first = (jnp.arange(n_pairs) == 0).astype(self.dtype).reshape(n_pairs, 1, 1, 1)
-        x, _ = PairScan(
+        is_first = (
+            (jnp.arange(n_pairs) + start_pair == 0)
+            .astype(self.dtype)
+            .reshape(n_pairs, 1, 1, 1)
+        )
+        flags = is_first
+        carry = x
+        if return_front:
+            save_flag = (jnp.arange(n_pairs) == return_front - 1).reshape(
+                n_pairs, 1, 1, 1
+            )
+            flags = (is_first, save_flag)
+            carry = (x, jnp.zeros_like(x))
+        carry, _ = PairScan(
             hidden_size=self.hidden_size,
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
@@ -291,9 +340,14 @@ class Latte(nn.Module):
             moe_capacity_factor=self.moe_capacity_factor,
             moe_ep_axis=self.moe_ep_axis,
             fused_adaln=self.fused_adaln,
+            save_front_idx=(return_front - 1) if return_front else -1,
             dtype=self.dtype,
             name="blocks",
-        )(x, (c_spatial, c_temp, temp_embed), is_first)
+        )(carry, (c_spatial, c_temp, temp_embed), flags)
+        if return_front:
+            x, front_saved = carry
+        else:
+            x = carry
 
         # Final layer conditioning: timestep (+ class) — the text path uses
         # timestep only (reference `models/latte.py:370-373`).
@@ -307,7 +361,10 @@ class Latte(nn.Module):
         )(x, c_final)
         x = unpatchify(x, p, self.out_channels)
         x = x.reshape(B, F, self.out_channels, H, W)
-        return x.astype(in_dtype)
+        out = x.astype(in_dtype)
+        if return_front:
+            return out, front_saved
+        return out
 
     def forward_with_cfg(
         self,

@@ -80,8 +80,44 @@ def build_sample_fn(model, params, config, diffusion, allow_tp: bool = True):
     (sample_many's dp BatchGenerator) pass False so a train-derived
     config carrying ``tensor_parallel`` doesn't pin this sampler to a
     conflicting tp submesh.
+
+    ``block_cache_interval: N`` (> 1) switches to the block-cache sampler
+    (`latte_tpu/core/block_cache.py`): the first ``block_cache_pairs``
+    (default 2/3 of the pair stack) recompute only every Nth step — a
+    training-free Δ-DiT/BlockDance-style approximation, quality-guarded
+    in bench.py. Composes with `quantized`; Latte-family scan-mode only.
     """
     loop_mode = str(getattr(config, "loop_mode", "scan") or "scan")
+    bc_interval = int(getattr(config, "block_cache_interval", 0) or 0)
+    if bc_interval > 1:
+        from latte_tpu.core.block_cache import cached_sample_loop
+
+        if loop_mode != "scan":
+            raise ValueError("block_cache_interval requires loop_mode=scan")
+        if int(getattr(config, "tensor_parallel", 1) or 1) > 1:
+            raise ValueError(
+                "block_cache_interval does not compose with tensor_parallel "
+                "serving yet (the cond-staged forward is unvalidated under "
+                "the tp mesh)"
+            )
+        n_pairs = model.depth // 2
+        k = int(getattr(config, "block_cache_pairs", 0) or (n_pairs * 2) // 3)
+        use_cfg = (
+            int(getattr(config, "extras", 1)) == 2
+            and float(getattr(config, "cfg_scale", 1.0)) > 1.0
+        )
+
+        @jax.jit
+        def cached(z, y, rng):
+            return cached_sample_loop(
+                diffusion, model, params, z,
+                cache_pairs=k, cache_interval=bc_interval, y=y,
+                cfg_scale=float(getattr(config, "cfg_scale", 1.0)),
+                sample_method=str(getattr(config, "sample_method", "ddpm")).lower(),
+                rng=rng,
+            )
+
+        return (lambda z, y, rng: cached(z, y, rng)), use_cfg
     sample_impl, use_cfg = build_sample_impl(
         model, config, diffusion, loop=loop_mode
     )
