@@ -425,6 +425,13 @@ def main() -> None:
                     ),
                     None,
                 ),
+                (
+                    "videos_per_min_128f_int8_block_cache",
+                    model.clone(
+                        unroll_blocks=False, num_frames=128, quantized="static"
+                    ),
+                    None,
+                ),
             ):
                 shapes128 = jax.eval_shape(
                     lambda m=m128: m.init(
@@ -446,7 +453,16 @@ def main() -> None:
                     return jax.tree_util.tree_map(mk, shapes128)
 
                 p128 = init_128()
-                scan128 = make_scan_sampler(m128)
+                if tag.endswith("block_cache"):
+                    from latte_tpu.core.block_cache import cached_sample_loop
+
+                    @jax.jit
+                    def scan128(p, z, m=m128):
+                        return cached_sample_loop(
+                            diffusion, m, p, z, cache_pairs=9, cache_interval=2
+                        )
+                else:
+                    scan128 = make_scan_sampler(m128)
                 z128 = jax.random.normal(
                     jax.random.PRNGKey(21), x128_shape, jnp.float32
                 )
