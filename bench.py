@@ -287,12 +287,11 @@ def main() -> None:
                 _, variables = cmodel.apply(p, x, t, mutable=["calib"])
                 return variables["calib"]
 
+            from latte_tpu.quant import merge_amax
+
             amax = None
             for tc in (999, 500, 0):  # representative timesteps
-                a = calib_amax(rparams, zc, jnp.int32(tc))
-                amax = a if amax is None else jax.tree_util.tree_map(
-                    jnp.maximum, amax, a
-                )
+                amax = merge_amax(amax, calib_amax(rparams, zc, jnp.int32(tc)))
             rqparams = {
                 "params": quantize_params(rparams["params"], act_amax=amax)
             }
@@ -366,17 +365,17 @@ def main() -> None:
             qmodel_scan = qmodel.clone(unroll_blocks=False)
 
             @jax.jit
-            def bc_int8(z):
+            def bc_int8(p, z):
                 return cached_sample_loop(
-                    diffusion, qmodel_scan, {"params": qparams["params"]}, z,
+                    diffusion, qmodel_scan, p, z,
                     cache_pairs=BC_K, cache_interval=BC_INT,
                 )
 
             zb = jax.random.normal(jax.random.PRNGKey(31), x_shape, jnp.float32)
-            np.asarray(bc_int8(zb)[0, 0, 0, 0, 0])  # compile
+            np.asarray(bc_int8(qparams, zb)[0, 0, 0, 0, 0])  # compile
             t0 = time.perf_counter()
             for _ in range(n_runs):
-                zb = bc_int8(zb)
+                zb = bc_int8(qparams, zb)
             vb = np.asarray(zb[0, 0, 0, 0, 0])
             assert np.isfinite(vb)
             extra["videos_per_min_int8_block_cache"] = round(

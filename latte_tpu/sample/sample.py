@@ -94,7 +94,9 @@ def build_sample_fn(model, params, config, diffusion, allow_tp: bool = True):
 
         if loop_mode != "scan":
             raise ValueError("block_cache_interval requires loop_mode=scan")
-        if int(getattr(config, "tensor_parallel", 1) or 1) > 1:
+        if allow_tp and int(getattr(config, "tensor_parallel", 1) or 1) > 1:
+            # only when this sampler would otherwise honor tensor_parallel;
+            # allow_tp=False callers (sample_many's dp mesh) ignore the key
             raise ValueError(
                 "block_cache_interval does not compose with tensor_parallel "
                 "serving yet (the cond-staged forward is unvalidated under "
@@ -107,17 +109,19 @@ def build_sample_fn(model, params, config, diffusion, allow_tp: bool = True):
             and float(getattr(config, "cfg_scale", 1.0)) > 1.0
         )
 
+        # params stay a jit ARGUMENT (closing over device arrays bakes the
+        # weight tree into the HLO — same rule as the paths below)
         @jax.jit
-        def cached(z, y, rng):
+        def cached(p, z, y, rng):
             return cached_sample_loop(
-                diffusion, model, params, z,
+                diffusion, model, p, z,
                 cache_pairs=k, cache_interval=bc_interval, y=y,
                 cfg_scale=float(getattr(config, "cfg_scale", 1.0)),
                 sample_method=str(getattr(config, "sample_method", "ddpm")).lower(),
                 rng=rng,
             )
 
-        return (lambda z, y, rng: cached(z, y, rng)), use_cfg
+        return (lambda z, y, rng: cached(params, z, y, rng)), use_cfg
     sample_impl, use_cfg = build_sample_impl(
         model, config, diffusion, loop=loop_mode
     )
@@ -254,7 +258,10 @@ def main(config: Config) -> str:
         if str(qmode) == "static":
             import jax as _jax
 
+            from latte_tpu.quant import merge_amax
+
             calib_m = model.clone(quantized="calib")
+            extras_c = int(getattr(config, "extras", 1))
             zshape = (
                 1,
                 int(getattr(config, "num_frames", 16)),
@@ -263,19 +270,27 @@ def main(config: Config) -> str:
             )
             zshape = zshape + (zshape[-1],)
             zc = _jax.random.normal(_jax.random.PRNGKey(0), zshape, jnp.float32)
+            # conditioning inputs mirror the real forward (a conditional
+            # model's calibration forward would crash without them)
+            calib_kw = {}
+            if extras_c == 2:
+                calib_kw["y"] = jnp.full(
+                    (1,), int(getattr(config, "sample_class", 0)), jnp.int32
+                )
+            elif extras_c == 78:
+                calib_kw["text_embedding"] = jnp.zeros((1, 77, 768), jnp.float32)
 
             @_jax.jit
             def _amax(p, x, t_scalar):
                 t = jnp.full((x.shape[0],), t_scalar, jnp.int32)
-                _, variables = calib_m.apply(p, x, t, mutable=["calib"])
+                _, variables = calib_m.apply(
+                    p, x, t, mutable=["calib"], **calib_kw
+                )
                 return variables["calib"]
 
             amax = None
             for tc in (999, 500, 0):
-                a = _amax(params, zc, jnp.int32(tc))
-                amax = a if amax is None else _jax.tree_util.tree_map(
-                    jnp.maximum, amax, a
-                )
+                amax = merge_amax(amax, _amax(params, zc, jnp.int32(tc)))
             model = model.clone(quantized="static")
             params = {"params": quantize_params(params["params"], act_amax=amax)}
             logger.info("serving with static-scale W8A8 int8 block matmuls")

@@ -54,6 +54,11 @@ def main(config, out_dir: str) -> str:
         return mean, std
 
     n = len(dataset)
+    if n == 0:
+        raise ValueError(
+            f"dataset {getattr(config, 'data_path', '?')!r} yielded 0 items "
+            "— refusing to write an empty latent cache"
+        )
     meta = None
     for lo in range(0, n, batch):
         items = [dataset[i] for i in range(lo, min(lo + batch, n))]

@@ -117,6 +117,14 @@ def make_batch_iterator(config, logger, global_batch: int):
             f"latent cache {data_path}: {len(dataset)} items "
             f"({dataset.meta['frames']}f, latent {dataset.meta['latent_shape']})"
         )
+        cache_scale = float(dataset.meta.get("vae_scale", 0.18215))
+        cfg_scale_ = float(getattr(config, "vae_scale", cache_scale))
+        if abs(cache_scale - cfg_scale_) > 1e-9:
+            logger.warning(
+                f"latent cache was encoded with vae_scale={cache_scale} but "
+                f"the config says {cfg_scale_}; using the CACHE's scale"
+            )
+        config.vae_scale = cache_scale
         loader = DataLoader(
             dataset,
             batch_size=global_batch,
@@ -565,6 +573,9 @@ def main(config: Config, callbacks=None) -> dict:
         # MoE load-balancing loss weight (Switch Transformer's 0.01
         # default); only collectable on the non-pipelined forward
         moe_aux_weight=moe_aux_weight,
+        # scales the cached-moments latents (latent-cache path); the cache
+        # branch of make_batch_iterator pins it to the cache's own scale
+        vae_scale=float(getattr(config, "vae_scale", 0.18215)),
     )
     jitted_step = jax.jit(train_step, donate_argnums=(0,))
     if encode_params is not None:

@@ -198,9 +198,13 @@ class TestQuantizedModel:
         )
         out_fp = fp.apply({"params": params}, x, t)
 
-        # calibration pass over representative inputs (two timesteps)
-        _, variables = calib_m.apply({"params": params}, x, t, mutable=["calib"])
-        amax = variables["calib"]
+        # calibration pass over representative inputs (two timesteps),
+        # through the library helper serving/bench use
+        from latte_tpu.quant import calibrate_act_amax
+
+        amax = calibrate_act_amax(
+            lambda *a, **kw: calib_m.apply({"params": params}, *a, **kw), x, t
+        )
         # scan-stacked: one amax per scanned pair per layer
         assert np.asarray(
             amax["blocks"]["spatial"]["attn"]["qkv"]["act_amax"]
