@@ -384,10 +384,19 @@ class T2VPair(nn.Module):
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
     moe_ep_axis: Optional[str] = None
+    # >= 0: the scan carry grows a `saved` slot capturing the activation
+    # AFTER pair index save_front_idx (block-cache serving, see
+    # `LatteT2V.__call__` return_front) — params are unaffected
+    save_front_idx: int = -1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, cond, is_first):
+    def __call__(self, carry, cond, is_first):
+        if self.save_front_idx >= 0:
+            x, saved = carry
+            is_first, save_flag = is_first
+        else:
+            x = carry
         (t_spatial, t_temp, context_sp, ctx_bias, temp_pos_embed) = cond
         Fv = self.num_video_frames
         BF, T, D = x.shape
@@ -442,6 +451,9 @@ class T2VPair(nn.Module):
         # when temporal attentions are disabled (t2i), temporal params are
         # simply never created/used; apply() tolerates extra params when
         # loading a full T2V checkpoint.
+        if self.save_front_idx >= 0:
+            saved = jnp.where(save_flag, x, saved)
+            return (x, saved), None
         return x, None
 
 
@@ -495,24 +507,38 @@ class LatteT2V(nn.Module):
         encoder_attention_mask: Optional[jnp.ndarray] = None,
         use_image_num: int = 0,
         train: bool = False,
+        front_state: Optional[jnp.ndarray] = None,
+        start_pair: int = 0,
+        return_front: int = 0,
     ) -> jnp.ndarray:
+        # front_state/start_pair/return_front: block-cache serving staging
+        # hooks — same contract as `latte_tpu/models/dit.py Latte.__call__`
+        # (see `latte_tpu/core/block_cache.py`).
+        if return_front and front_state is not None:
+            raise ValueError("return_front and front_state are exclusive")
+        if (front_state is None) != (start_pair == 0):
+            raise ValueError("front_state and start_pair must be set together")
         B, C, Ftot, H, W = hidden_states.shape
         D = self.inner_dim
         Fv = Ftot - use_image_num
         p = self.patch_size
         in_dtype = hidden_states.dtype
 
-        # (b c f h w) -> (b f) c h w, per-frame patchify + 2d pos embed
-        x = hidden_states.transpose(0, 2, 1, 3, 4).reshape(B * Ftot, C, H, W)
-        x = PatchEmbed(
-            patch_size=p, hidden_size=D, dtype=self.dtype, name="pos_embed"
-        )(x)
-        T = x.shape[1]
-        pos = jnp.asarray(get_2d_sincos_pos_embed(D, H // p), dtype=self.dtype)[None]
-        x = x + pos
         temp_pos_embed = jnp.asarray(
             get_1d_sincos_pos_embed(D, Fv), dtype=self.dtype
         )[None]
+        if front_state is None:
+            # (b c f h w) -> (b f) c h w, per-frame patchify + 2d pos embed
+            x = hidden_states.transpose(0, 2, 1, 3, 4).reshape(B * Ftot, C, H, W)
+            x = PatchEmbed(
+                patch_size=p, hidden_size=D, dtype=self.dtype, name="pos_embed"
+            )(x)
+            T = x.shape[1]
+            pos = jnp.asarray(get_2d_sincos_pos_embed(D, H // p), dtype=self.dtype)[None]
+            x = x + pos
+        else:
+            x = front_state
+            T = x.shape[1]
 
         t_mod, embedded_t = AdaLayerNormSingle(
             dim=D, dtype=self.dtype, name="adaln_single"
@@ -545,7 +571,7 @@ class LatteT2V(nn.Module):
                 bias = jnp.concatenate([bias_video, bias[:, 1:]], axis=1)
                 ctx_bias = bias.reshape(B * Ftot, 1, -1)
 
-        n_pairs = self.num_layers
+        n_pairs = self.num_layers - start_pair
         pair_cls = T2VPair
         if self.gradient_checkpointing:
             policy = _remat_policy(self.remat_policy)
@@ -561,8 +587,20 @@ class LatteT2V(nn.Module):
             length=n_pairs,
             unroll=n_pairs if self.unroll_blocks else 1,
         )
-        is_first = (jnp.arange(n_pairs) == 0).astype(self.dtype).reshape(n_pairs, 1, 1, 1)
-        x, _ = PairScan(
+        is_first = (
+            (jnp.arange(n_pairs) + start_pair == 0)
+            .astype(self.dtype)
+            .reshape(n_pairs, 1, 1, 1)
+        )
+        flags = is_first
+        carry = x
+        if return_front:
+            save_flag = (jnp.arange(n_pairs) == return_front - 1).reshape(
+                n_pairs, 1, 1, 1
+            )
+            flags = (is_first, save_flag)
+            carry = (x, jnp.zeros_like(x))
+        carry, _ = PairScan(
             dim=D,
             num_heads=self.num_attention_heads,
             head_dim=self.attention_head_dim,
@@ -578,9 +616,14 @@ class LatteT2V(nn.Module):
             moe_top_k=self.moe_top_k,
             moe_capacity_factor=self.moe_capacity_factor,
             moe_ep_axis=self.moe_ep_axis,
+            save_front_idx=(return_front - 1) if return_front else -1,
             dtype=self.dtype,
             name="blocks",
-        )(x, (t_spatial, t_temp, ctx_sp, ctx_bias, temp_pos_embed), is_first)
+        )(carry, (t_spatial, t_temp, ctx_sp, ctx_bias, temp_pos_embed), flags)
+        if return_front:
+            x, front_saved = carry
+        else:
+            x = carry
 
         # adaLN-single output projection (`latte_t2v.py:921-929`)
         out_table = self.param(
@@ -601,4 +644,7 @@ class LatteT2V(nn.Module):
         x = x.reshape(B * Ftot, h_p, w_p, p, p, self.out_channels)
         x = jnp.einsum("nhwpqc->nchpwq", x)
         x = x.reshape(B, Ftot, self.out_channels, H, W).transpose(0, 2, 1, 3, 4)
-        return x.astype(in_dtype)
+        out = x.astype(in_dtype)
+        if return_front:
+            return out, front_saved
+        return out

@@ -49,9 +49,31 @@ class LattePipeline:
         vae_spatial_scale: int = 8,
         pp_mesh=None,
         pp_microbatches: int = 2,
+        block_cache_interval: int = 0,
+        block_cache_pairs=None,
     ):
         self.transformer = transformer
         self.transformer_params = transformer_params
+        # block-cache serving (core/block_cache.py rationale): the front
+        # `block_cache_pairs` of the pair stack recompute only every
+        # `block_cache_interval`-th transformer evaluation. Host-driven
+        # loop -> two jitted step specializations, no lax.cond needed.
+        self.bc_interval = int(block_cache_interval or 0)
+        if self.bc_interval > 1:
+            if pp_mesh is not None:
+                raise ValueError(
+                    "block_cache_interval does not compose with pp_mesh "
+                    "(the pipelined forward has no staging hooks)"
+                )
+            n_pairs = transformer.num_layers
+            self.bc_pairs = int(block_cache_pairs or (n_pairs * 2) // 3)
+            if not 1 <= self.bc_pairs < n_pairs:
+                raise ValueError(
+                    f"block_cache_pairs must be in [1, {n_pairs}), got {self.bc_pairs}"
+                )
+            from latte_tpu.core.block_cache import _slice_back_params
+
+            self._p_back = _slice_back_params(transformer_params, self.bc_pairs)
         # pp_mesh: a Mesh carrying a "pp" axis — the denoise transformer
         # runs depth-sharded via dist.pipeline.pipelined_t2v_forward, for
         # checkpoints whose transformer exceeds one chip's HBM
@@ -66,7 +88,7 @@ class LattePipeline:
         self.vae_scale = vae_scale
         self.vae_spatial_scale = vae_spatial_scale
 
-        def step_fn(params, latents, state, ctx, ctx_mask, i, ts, guidance_scale, rng, do_cfg):
+        def step_fn(params, latents, state, ctx, ctx_mask, i, ts, guidance_scale, rng, do_cfg, front=None, cache=None):
             latent_in = jnp.concatenate([latents, latents]) if do_cfg else latents
             latent_in = self.scheduler.scale_model_input(latent_in, i, state)
             # schedulers pick the conditioning timestep: interleaved
@@ -87,6 +109,16 @@ class LattePipeline:
                     self.transformer, params, latent_in, t, ctx, ctx_mask,
                     mesh=self.pp_mesh, microbatches=mb,
                 )
+            elif cache == "full":
+                noise_pred, front = self.transformer.apply(
+                    params, latent_in, t, ctx, ctx_mask,
+                    return_front=self.bc_pairs,
+                )
+            elif cache == "partial":
+                noise_pred = self.transformer.apply(
+                    self._p_back, latent_in, t, ctx, ctx_mask,
+                    front_state=front, start_pair=self.bc_pairs,
+                )
             else:
                 noise_pred = self.transformer.apply(
                     params, latent_in, t, ctx, ctx_mask
@@ -102,7 +134,8 @@ class LattePipeline:
             # the ancestral family, DDIM eta>0) draw their noise term —
             # the reference passes a generator into each scheduler.step
             # (`pipeline_latte.py:724`).
-            return self.scheduler.step(noise_pred, i, ts, latents, state, rng=rng)
+            nxt = self.scheduler.step(noise_pred, i, ts, latents, state, rng=rng)
+            return (*nxt, front) if cache else nxt
 
         # do_cfg / guidance static via two specializations
         self._step = jax.jit(
@@ -111,6 +144,17 @@ class LattePipeline:
         self._step_nocfg = jax.jit(
             lambda p, l, s, c, m, i, ts, g, r: step_fn(p, l, s, c, m, i, ts, g, r, False)
         )
+        if self.bc_interval > 1:
+            # four more specializations: {cfg} x {full, partial}
+            self._step_bc = {
+                (cfg, mode): jax.jit(
+                    lambda p, l, s, c, m, i, ts, g, r, f, cfg=cfg, mode=mode: step_fn(
+                        p, l, s, c, m, i, ts, g, r, cfg, front=f, cache=mode
+                    )
+                )
+                for cfg in (True, False)
+                for mode in ("full", "partial")
+            }
         if self.vae is not None:
             from latte_tpu.vae import make_decode_fn
 
@@ -212,13 +256,33 @@ class LattePipeline:
         step = self._step if do_cfg else self._step_nocfg
         g = jnp.float32(guidance_scale)
         interleaved = bool(getattr(self.scheduler, "interleaved", False))
+        use_bc = self.bc_interval > 1
+        front = None
+        if use_bc:
+            # front activation: ((cfg?2:1)·B·F, T, D) in the model dtype
+            bsz = latents.shape[0] * (2 if do_cfg else 1)
+            T = (latents.shape[3] // self.transformer.patch_size) * (
+                latents.shape[4] // self.transformer.patch_size
+            )
+            front = jnp.zeros(
+                (bsz * latents.shape[2], T, self.transformer.inner_dim),
+                self.transformer.dtype,
+            )
         i = 0
         calls = 0
         while i < n_indices and calls < 3 * n_indices:
-            latents, state = step(
-                self.transformer_params, latents, state, ctx, ctx_mask,
-                jnp.int32(i), ts, g, jax.random.fold_in(rng, calls + 1),
-            )
+            if use_bc:
+                mode = "full" if calls % self.bc_interval == 0 else "partial"
+                latents, state, front = self._step_bc[(do_cfg, mode)](
+                    self.transformer_params, latents, state, ctx, ctx_mask,
+                    jnp.int32(i), ts, g, jax.random.fold_in(rng, calls + 1),
+                    front,
+                )
+            else:
+                latents, state = step(
+                    self.transformer_params, latents, state, ctx, ctx_mask,
+                    jnp.int32(i), ts, g, jax.random.fold_in(rng, calls + 1),
+                )
             calls += 1
             if interleaved and bool(state["in_correction"]):
                 continue  # corrector call repeats the same index

@@ -182,6 +182,8 @@ def main(config: Config) -> str:
         vae_params=vae_params,
         pp_mesh=pp_mesh,
         pp_microbatches=int(getattr(config, "pp_microbatches", 2) or 2),
+        block_cache_interval=int(getattr(config, "block_cache_interval", 0) or 0),
+        block_cache_pairs=getattr(config, "block_cache_pairs", None),
     )
 
     image_size = config.image_size
