@@ -64,6 +64,7 @@ def export_sampler(
     batch: int = 1,
     platforms: Optional[Sequence[str]] = None,
     tensor_parallel: int = 1,
+    block_cache: Optional[Tuple[int, int]] = None,
 ) -> Tuple[jax_export.Exported, dict]:
     """Export the full sampling trajectory for ``model`` as StableHLO.
 
@@ -92,7 +93,29 @@ def export_sampler(
     )
     in_ch = int(getattr(config, "in_channels", 4))
 
-    sample_impl, use_cfg = _build_sample_impl(model, config, diffusion)
+    if block_cache is not None:
+        # block-cache trajectory (core/block_cache.py): the artifact bakes
+        # the cond-staged scan; semantics match the live cached sampler.
+        if int(tensor_parallel or 1) > 1:
+            raise ValueError(
+                "block_cache does not compose with tensor_parallel export "
+                "(the cond-staged forward is unvalidated under the tp mesh)"
+            )
+        from latte_tpu.core.block_cache import cached_sample_loop
+
+        bc_k, bc_n = int(block_cache[0]), int(block_cache[1])
+        use_cfg = extras == 2 and float(getattr(config, "cfg_scale", 1.0)) > 1.0
+
+        def sample_impl(p, z, y, rng):
+            return cached_sample_loop(
+                diffusion, model, p, z,
+                cache_pairs=bc_k, cache_interval=bc_n, y=y,
+                cfg_scale=float(getattr(config, "cfg_scale", 1.0)),
+                sample_method=str(getattr(config, "sample_method", "ddpm")).lower(),
+                rng=rng,
+            )
+    else:
+        sample_impl, use_cfg = _build_sample_impl(model, config, diffusion)
 
     z_shape = (batch, frames, in_ch, latent, latent)
     tp = int(tensor_parallel or 1)
@@ -157,6 +180,7 @@ def export_sampler(
         "takes_y": y_spec is not None,
         "platforms": list(exported.platforms),
         "tensor_parallel": tp,
+        "block_cache": list(block_cache) if block_cache is not None else None,
     }
     return exported, header
 

@@ -54,9 +54,15 @@ def main(config, out: str, batch: int = 1, platforms=None, tensor_parallel=None)
         if tensor_parallel is not None
         else getattr(config, "tensor_parallel", 1) or 1
     )
+    bc = None
+    bc_n = int(getattr(config, "block_cache_interval", 0) or 0)
+    if bc_n > 1:
+        n_pairs = model.depth // 2
+        bc_k = int(getattr(config, "block_cache_pairs", 0) or (n_pairs * 2) // 3)
+        bc = (bc_k, bc_n)
     exported, header = export_sampler(
         model, config, diffusion, params_shapes, batch=batch,
-        platforms=platforms, tensor_parallel=tp,
+        platforms=platforms, tensor_parallel=tp, block_cache=bc,
     )
     if not out.endswith(AOT_SUFFIX):
         out += AOT_SUFFIX

@@ -200,3 +200,41 @@ class TestAotTensorParallel:
         monkeypatch.setattr(aot_mod.jax, "devices", lambda *a: list(one))
         with pytest.raises(ValueError, match="tensor_parallel=2"):
             load_sampler(path)
+
+
+class TestAotBlockCache:
+    """Block-cache trajectories export too (the serving fleet gets the
+    accelerated sampler as an artifact)."""
+
+    def test_block_cache_artifact_matches_live_cached_sampler(self, tmp_path):
+        from latte_tpu.core.block_cache import cached_sample_loop
+
+        cfg, model, diffusion, params = _tiny(extras=1)
+        exported, header = export_sampler(
+            model, cfg, diffusion, params, platforms=("cpu",),
+            block_cache=(1, 2),
+        )
+        assert header["block_cache"] == [1, 2]
+        path = save_sampler(str(tmp_path / "bc.ltpu-aot"), exported, header)
+        call, hdr = load_sampler(path)
+
+        z = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 4, 2, 2))
+        rng = jax.random.PRNGKey(7)
+        got = np.asarray(call(params, z, rng))
+        want = np.asarray(
+            jax.jit(
+                lambda p, zz, r: cached_sample_loop(
+                    diffusion, model, p, zz, cache_pairs=1, cache_interval=2,
+                    sample_method="ddim", rng=r,
+                )
+            )(params, z, rng)
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_block_cache_rejects_tp(self):
+        cfg, model, diffusion, params = _tiny(extras=1)
+        with pytest.raises(ValueError, match="tensor_parallel"):
+            export_sampler(
+                model, cfg, diffusion, params, platforms=("cpu",),
+                block_cache=(2, 2), tensor_parallel=2,
+            )
