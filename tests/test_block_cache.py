@@ -248,3 +248,31 @@ class TestT2VBlockCache:
                 block_cache_interval=2,
                 block_cache_pairs=3,
             )
+
+
+def test_interval_one_matches_standard_ddpm_sampler(setup, rng_np):
+    """The stochastic (DDPM) mode shares _noise_for's fold-by-timestep rng
+    convention, so interval=1 must reproduce p_sample_loop exactly."""
+    from latte_tpu.core.samplers import p_sample_loop
+
+    model, params = setup
+    diffusion = create_diffusion("4")
+    z = jnp.asarray(rng_np.standard_normal((1, 2, 4, 8, 8)).astype(np.float32))
+    y = jnp.array([6], jnp.int32)
+    rng = jax.random.PRNGKey(17)
+
+    exact = p_sample_loop(
+        diffusion,
+        lambda xx, tt, **kw: model.apply(params, xx, tt, **kw),
+        z,
+        rng=rng,
+        model_kwargs={"y": y},
+    )
+    cached = cached_sample_loop(
+        diffusion, model, params, z,
+        cache_pairs=K, cache_interval=1, y=y,
+        sample_method="ddpm", rng=rng,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cached), np.asarray(exact), rtol=1e-6, atol=1e-6
+    )
