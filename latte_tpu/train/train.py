@@ -205,14 +205,15 @@ def main(config: Config, callbacks=None) -> dict:
 
     # persistent XLA compile cache (same knob as bench.py): XL-size init +
     # train-step compiles cost minutes through a remote relay on a cold
-    # start, seconds when replayed from the cache
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_CACHE_DIR", "/tmp/latte_tpu_jax_cache"),
-        )
-    except Exception:
-        pass
+    # start, seconds when replayed from the cache. JAX_CACHE_DIR="" opts
+    # out entirely (the test suite does: the cache's zstd codec has
+    # segfaulted under pytest's many small CPU executables).
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/latte_tpu_jax_cache")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        except Exception:
+            pass
 
     # multi-host rendezvous BEFORE any backend use (no-op single-process;
     # replaces the reference's setup_distributed NCCL/SLURM init)
