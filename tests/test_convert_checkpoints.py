@@ -20,6 +20,8 @@ conversion-relevant dimensions are depth/hidden/heads, which are at the
 published values; token counts only scale the forward cost.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -100,6 +102,11 @@ def test_published_config_roundtrip(size, extras, tmp_path, rng_np):
 
     # reference-loader semantics: prefer the "ema" weights
     sd = load_torch_checkpoint(str(path))
+    sd_model = load_torch_checkpoint(str(path), prefer_ema=False)
+    # delete the multi-GB .pt immediately: pytest retains tmp dirs across
+    # sessions, and XL-size checkpoints x configs x 3 retained runs filled
+    # /tmp (the round-4 full-suite ENOSPC)
+    os.remove(path)
     params = convert_latte_state_dict(
         sd, depth=cfg["depth"], num_heads=cfg["num_heads"]
     )
@@ -133,8 +140,7 @@ def test_published_config_roundtrip(size, extras, tmp_path, rng_np):
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-3)
 
     # and the non-ema weights must differ — proof ema preference was real
-    sd_model = load_torch_checkpoint(str(path), prefer_ema=False)
-    qk = f"blocks.0.attn.qkv.weight"
+    qk = "blocks.0.attn.qkv.weight"
     assert not np.allclose(sd[qk], sd_model[qk])
 
 
@@ -170,6 +176,7 @@ def test_published_config_roundtrip_extras78(tmp_path, rng_np):
     ema.eval()
 
     sd = load_torch_checkpoint(str(path))
+    os.remove(path)  # free the tmp checkpoint immediately (see above)
     params = convert_latte_state_dict(
         sd, depth=cfg["depth"], num_heads=cfg["num_heads"]
     )
@@ -238,6 +245,7 @@ def test_published_config_roundtrip_img(size, tmp_path, rng_np):
     ema.train()  # joint y_image path only runs with self.training
 
     sd = load_torch_checkpoint(str(path))
+    os.remove(path)  # free the tmp checkpoint immediately (see above)
     params = convert_latte_state_dict(
         sd, depth=cfg["depth"], num_heads=cfg["num_heads"]
     )
