@@ -85,7 +85,9 @@ def build_sample_fn(model, params, config, diffusion, allow_tp: bool = True):
     (`latte_tpu/core/block_cache.py`): the first ``block_cache_pairs``
     (default 2/3 of the pair stack) recompute only every Nth step — a
     training-free Δ-DiT/BlockDance-style approximation, quality-guarded
-    in bench.py. Composes with `quantized`; Latte-family scan-mode only.
+    in bench.py. Composes with `quantized` AND with `tensor_parallel`
+    serving (the cond-staged scan jits over the same Megatron-split
+    params as the standard tp sampler); Latte-family scan-mode only.
     """
     loop_mode = str(getattr(config, "loop_mode", "scan") or "scan")
     bc_interval = int(getattr(config, "block_cache_interval", 0) or 0)
@@ -94,14 +96,6 @@ def build_sample_fn(model, params, config, diffusion, allow_tp: bool = True):
 
         if loop_mode != "scan":
             raise ValueError("block_cache_interval requires loop_mode=scan")
-        if allow_tp and int(getattr(config, "tensor_parallel", 1) or 1) > 1:
-            # only when this sampler would otherwise honor tensor_parallel;
-            # allow_tp=False callers (sample_many's dp mesh) ignore the key
-            raise ValueError(
-                "block_cache_interval does not compose with tensor_parallel "
-                "serving yet (the cond-staged forward is unvalidated under "
-                "the tp mesh)"
-            )
         n_pairs = model.depth // 2
         k = int(getattr(config, "block_cache_pairs", 0) or (n_pairs * 2) // 3)
         use_cfg = (
@@ -109,10 +103,7 @@ def build_sample_fn(model, params, config, diffusion, allow_tp: bool = True):
             and float(getattr(config, "cfg_scale", 1.0)) > 1.0
         )
 
-        # params stay a jit ARGUMENT (closing over device arrays bakes the
-        # weight tree into the HLO — same rule as the paths below)
-        @jax.jit
-        def cached(p, z, y, rng):
+        def cached_impl(p, z, y, rng):
             return cached_sample_loop(
                 diffusion, model, p, z,
                 cache_pairs=k, cache_interval=bc_interval, y=y,
@@ -121,6 +112,43 @@ def build_sample_fn(model, params, config, diffusion, allow_tp: bool = True):
                 rng=rng,
             )
 
+        # params stay a jit ARGUMENT (closing over device arrays bakes the
+        # weight tree into the HLO — same rule as the paths below)
+        tp = int(getattr(config, "tensor_parallel", 1) or 1) if allow_tp else 1
+        if tp > 1:
+            # block-cache × tensor parallelism: the cond-staged forward
+            # partitions like the standard one (both cond branches apply
+            # the Megatron-split params; the front activation and the
+            # sliced-back param view replicate/split exactly as in the
+            # full forward), so the same mesh + sharding recipe as the
+            # tp branch below applies. Latents-parity vs the
+            # single-device cached sampler: tests/test_sample_tp.py.
+            if getattr(model, "fused_adaln", False):
+                raise ValueError(
+                    "fused_adaln does not compose with tensor_parallel "
+                    "serving (the Pallas adaLN kernels are opaque to the "
+                    "SPMD partitioner); disable one of the two"
+                )
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from latte_tpu.dist.mesh import MeshConfig, make_mesh
+            from latte_tpu.dist.sharding import param_shardings
+
+            n_dev = len(jax.devices())
+            if n_dev < tp:
+                raise ValueError(
+                    f"tensor_parallel={tp} needs {tp} devices, have {n_dev}"
+                )
+            mesh = make_mesh(MeshConfig(dp=1, tp=tp), devices=jax.devices()[:tp])
+            p_shard = param_shardings(params, mesh)
+            params = jax.tree_util.tree_map(jax.device_put, params, p_shard)
+            rep = NamedSharding(mesh, P())
+            jitted = jax.jit(cached_impl, in_shardings=(p_shard, rep, rep, None))
+            fn = lambda z, y, rng: jitted(params, z, y, rng)
+            fn.tp_mesh, fn.tp_params = mesh, params
+            return fn, use_cfg
+
+        cached = jax.jit(cached_impl)
         return (lambda z, y, rng: cached(params, z, y, rng)), use_cfg
     sample_impl, use_cfg = build_sample_impl(
         model, config, diffusion, loop=loop_mode

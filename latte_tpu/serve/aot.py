@@ -96,11 +96,9 @@ def export_sampler(
     if block_cache is not None:
         # block-cache trajectory (core/block_cache.py): the artifact bakes
         # the cond-staged scan; semantics match the live cached sampler.
-        if int(tensor_parallel or 1) > 1:
-            raise ValueError(
-                "block_cache does not compose with tensor_parallel export "
-                "(the cond-staged forward is unvalidated under the tp mesh)"
-            )
+        # Composes with tensor_parallel — the tp branch below shards the
+        # same param tree and the cond-staged forward partitions like the
+        # standard one (parity: tests/test_aot_serve.py).
         from latte_tpu.core.block_cache import cached_sample_loop
 
         bc_k, bc_n = int(block_cache[0]), int(block_cache[1])

@@ -231,10 +231,33 @@ class TestAotBlockCache:
         )
         np.testing.assert_array_equal(got, want)
 
-    def test_block_cache_rejects_tp(self):
+    def test_block_cache_tp2_artifact_matches_single_device(self, tmp_path):
+        """Block-cache × tensor parallelism: the tp=2 cached artifact must
+        reproduce the single-device cached sampler (collectives reorder
+        reductions — allclose, not bit-equal)."""
+        from latte_tpu.core.block_cache import cached_sample_loop
+
         cfg, model, diffusion, params = _tiny(extras=1)
-        with pytest.raises(ValueError, match="tensor_parallel"):
-            export_sampler(
-                model, cfg, diffusion, params, platforms=("cpu",),
-                block_cache=(2, 2), tensor_parallel=2,
-            )
+        exported, header = export_sampler(
+            model, cfg, diffusion, params, platforms=("cpu",),
+            block_cache=(1, 2), tensor_parallel=2,
+        )
+        assert header["block_cache"] == [1, 2]
+        assert header["tensor_parallel"] == 2
+        assert exported.nr_devices == 2
+        path = save_sampler(str(tmp_path / "bctp.ltpu-aot"), exported, header)
+        call, hdr = load_sampler(path)
+        assert hdr["block_cache"] == [1, 2]
+
+        z = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 4, 2, 2))
+        rng = jax.random.PRNGKey(7)
+        got = np.asarray(call(jax.device_get(params), z, rng))
+        want = np.asarray(
+            jax.jit(
+                lambda p, zz, r: cached_sample_loop(
+                    diffusion, model, p, zz, cache_pairs=1, cache_interval=2,
+                    sample_method="ddim", rng=r,
+                )
+            )(params, z, rng)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)

@@ -102,6 +102,31 @@ class TestTpServing:
         out = fn(z, None, jax.random.PRNGKey(0))
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_tp2_block_cache_matches_single_device(self):
+        """Block-cache × tp composition: the tp=2 cond-staged cached
+        sampler must reproduce the single-device cached sampler (with CFG,
+        the harder path — the cond-staged forward under the Megatron
+        split)."""
+        cfg, model, diffusion, params = _setup(extras=2)
+        rng = jax.random.PRNGKey(11)
+        z = jnp.concatenate([jax.random.normal(rng, (1, 2, 4, 2, 2))] * 2, axis=0)
+        y = jnp.array([3, 10], jnp.int32)
+
+        bc = {"block_cache_interval": 2, "block_cache_pairs": 1}
+        ref_fn, use_cfg = build_sample_fn(
+            model, params, Config({**cfg.to_dict(), **bc}), diffusion
+        )
+        assert use_cfg
+        want = np.asarray(ref_fn(z, y, rng))
+
+        cfg_tp = Config({**cfg.to_dict(), **bc, "tensor_parallel": 2})
+        tp_fn, _ = build_sample_fn(model, params, cfg_tp, diffusion)
+        # the Megatron split must actually land on the cached path's params
+        qkv = tp_fn.tp_params["params"]["blocks"]["spatial"]["attn"]["qkv"]["kernel"]
+        assert not qkv.sharding.is_fully_replicated, qkv.sharding
+        got = np.asarray(tp_fn(z, y, rng))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
     def test_sample_many_ignores_tensor_parallel(self):
         """allow_tp=False callers (sample_many's dp BatchGenerator) must
         get the plain jitted sampler even when the config carries
