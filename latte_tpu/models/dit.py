@@ -72,6 +72,7 @@ class SpatioTemporalPair(nn.Module):
     mlp_ratio: float = 4.0
     attention_mode: str = "auto"
     quantized: bool = False
+    int8_attention: bool = False
     ring_mesh: Optional[object] = None
     ring_axis: str = "sp"
     activation_sharding: Optional[Tuple[str, ...]] = None
@@ -124,6 +125,7 @@ class SpatioTemporalPair(nn.Module):
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
             quantized=self.quantized,
+            int8_attention=self.int8_attention,
             ring_mesh=self.ring_mesh,
             ring_axis=self.ring_axis,
             activation_sharding=self.activation_sharding,
@@ -143,6 +145,7 @@ class SpatioTemporalPair(nn.Module):
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
             quantized=self.quantized,
+            int8_attention=self.int8_attention,
             ring_mesh=self.ring_mesh,
             ring_axis=self.ring_axis,
             activation_sharding=self.activation_sharding,
@@ -190,6 +193,10 @@ class Latte(nn.Module):
     # W8A8 int8 serving for the hot block matmuls; params must come from
     # latte_tpu.quant.quantize_params (see latte_tpu/quant/int8.py)
     quantized: bool = False
+    # also run the attention core (QKᵀ, P·V) int8 with calibrated per-head
+    # scales — requires quantized="static" params produced from a calib
+    # model that ALSO had int8_attention=True (quant/int8.int8_attention)
+    int8_attention: bool = False
     # mesh axes to shard the fused batch·token leading dim over, e.g.
     # ("dp", "sp") — sequence parallelism; requires jitting under a Mesh
     activation_sharding: Optional[Tuple[str, ...]] = None
@@ -332,6 +339,7 @@ class Latte(nn.Module):
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
             quantized=self.quantized,
+            int8_attention=self.int8_attention,
             ring_mesh=self.ring_mesh,
             ring_axis=self.ring_axis,
             activation_sharding=self.activation_sharding,

@@ -48,6 +48,7 @@ class JointSpatioTemporalPair(nn.Module):
     mlp_ratio: float = 4.0
     attention_mode: str = "auto"
     quantized: bool = False
+    int8_attention: bool = False
     moe_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
@@ -77,6 +78,7 @@ class JointSpatioTemporalPair(nn.Module):
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
             quantized=self.quantized,
+            int8_attention=self.int8_attention,
             dtype=self.dtype,
             name="spatial",
             **moe_kw,
@@ -95,6 +97,7 @@ class JointSpatioTemporalPair(nn.Module):
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
             quantized=self.quantized,
+            int8_attention=self.int8_attention,
             dtype=self.dtype,
             name="temporal",
             **moe_kw,
@@ -125,6 +128,8 @@ class LatteIMG(nn.Module):
     attention_mode: str = "auto"
     # W8A8 int8 serving (latte_tpu/quant)
     quantized: bool = False
+    # int8 attention core with calibrated per-head scales (see models/dit.py)
+    int8_attention: bool = False
     # Mixture-of-Experts FF (models/moe.py); weights shard over the mesh
     # "ep" axis (moe_ep_axis) — expert parallelism
     moe_experts: int = 0
@@ -238,6 +243,7 @@ class LatteIMG(nn.Module):
             mlp_ratio=self.mlp_ratio,
             attention_mode=self.attention_mode,
             quantized=self.quantized,
+            int8_attention=self.int8_attention,
             moe_experts=self.moe_experts,
             moe_top_k=self.moe_top_k,
             moe_capacity_factor=self.moe_capacity_factor,

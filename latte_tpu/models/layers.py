@@ -155,6 +155,13 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     mode: str = "auto"
     quantized: bool = False
+    # int8 attention CORE (quant/int8.int8_attention): with
+    # quantized="static", QKᵀ and P·V also run int8×int8→int32 on the MXU
+    # using calibrated per-head q/k/v scales (sown here under
+    # quantized="calib"). Applies on the fused-XLA path only — the flash /
+    # ring kernels stay bf16. The last floating-point compute category of
+    # the static-W8A8 serving step (docs/tpu_notes.md round-4 conclusion).
+    int8_attention: bool = False
     ring_mesh: Optional[object] = None  # jax.sharding.Mesh (static field)
     ring_axis: str = "sp"
     flash_min_n: int = 512  # "auto" routes N >= this to the flash kernel
@@ -177,6 +184,28 @@ class Attention(nn.Module):
         )(x)
         qkv = qkv.reshape(B, N, self.num_heads, 3, head_dim)
         q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # (B, N, H, hd)
+
+        if self.int8_attention and self.quantized == "static":
+            # declared unconditionally (before the kernel dispatch below) so
+            # the param tree is identical at every sequence length — a
+            # flash-routed long-N call leaves them unused but present
+            ones = nn.initializers.ones
+            qkv_amax = tuple(
+                self.param(nm, ones, (self.num_heads,), jnp.float32)
+                for nm in ("q_scale", "k_scale", "v_scale")
+            )
+        if self.int8_attention and self.quantized == "calib":
+            # per-head amax over (batch, tokens, head_dim) — feeds
+            # quantize_params(..., act_amax=...) which turns each into a
+            # {q,k,v}_scale param for the quantized="static" model
+            for nm, arr in (("q_amax", q), ("k_amax", k), ("v_amax", v)):
+                self.sow(
+                    "calib",
+                    nm,
+                    jnp.max(jnp.abs(arr.astype(jnp.float32)), axis=(0, 1, 3)),
+                    init_fn=lambda: jnp.zeros((self.num_heads,), jnp.float32),
+                    reduce_fn=jnp.maximum,
+                )
 
         mode = self.mode
         if mode == "auto":
@@ -209,6 +238,12 @@ class Attention(nn.Module):
             from latte_tpu.kernels.attention import flash_attention
 
             out = flash_attention(q, k, v)  # (B, N, H, hd)
+        elif mode == "xla" and self.int8_attention and self.quantized == "static":
+            from latte_tpu.quant.int8 import int8_attention
+
+            out = int8_attention(
+                q, k, v, qkv_amax[0], qkv_amax[1], qkv_amax[2], self.dtype
+            )
         elif mode == "xla":
             # native-dtype matmul with fp32 accumulation: under bf16 the
             # inputs are already bf16, so an up-cast before the dot buys
@@ -242,6 +277,7 @@ class AdaLNBlock(nn.Module):
     mlp_ratio: float = 4.0
     attention_mode: str = "auto"
     quantized: bool = False
+    int8_attention: bool = False  # int8 QKᵀ/P·V core — see Attention
     ring_mesh: Optional[object] = None
     ring_axis: str = "sp"
     activation_sharding: Optional[tuple] = None
@@ -306,6 +342,7 @@ class AdaLNBlock(nn.Module):
             qkv_bias=True,
             mode=self.attention_mode,
             quantized=self.quantized,
+            int8_attention=self.int8_attention,
             ring_mesh=self.ring_mesh,
             ring_axis=self.ring_axis,
             dtype=self.dtype,

@@ -71,6 +71,12 @@ def get_models(args):
         # sharded mesh (tensor_parallel / dp / sp) must reject or drop
         # this flag — see models/layers.py AdaLNBlock.fused_adaln.
         common["fused_adaln"] = True
+    if getattr(args, "int8_attention", False):
+        # int8 attention core for static-W8A8 serving (quant/int8.int8_attention):
+        # QKᵀ and P·V run int8 on the MXU with calibrated per-head scales.
+        # Applies under quantized="calib"/"static" (the calib pass sows the
+        # scales); a no-op in fp mode beyond the flag being set.
+        common["int8_attention"] = True
     if getattr(args, "model_overrides", None):
         # explicit architecture overrides (depth/hidden_size/num_heads/...):
         # lets smoke tests and scaling sweeps shrink or reshape a registry

@@ -113,6 +113,71 @@ def int8_matmul_static(
     return (acc.astype(jnp.float32) * ax * scale.reshape(-1)).astype(out_dtype)
 
 
+def int8_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_amax: jnp.ndarray,
+    k_amax: jnp.ndarray,
+    v_amax: jnp.ndarray,
+    out_dtype: jnp.dtype,
+    pv_int8: bool = True,
+) -> jnp.ndarray:
+    """Attention core with int8 matmuls and CALIBRATED per-head scales.
+
+    The static-W8A8 DiT step leaves exactly one compute category in
+    floating point: the two attention matmuls (QKᵀ and P·V — together the
+    N²·D FLOPs of each block). v5e's MXU runs int8×int8→int32 at 2× the
+    bf16 rate, so quantizing them is the remaining arithmetic lever
+    (docs/tpu_notes.md, round-4 int8 conclusion). Layout (B, N, H, D),
+    per-head amax of shape (H,) calibrated offline (the same static-scale
+    recipe as :func:`int8_matmul_static` — the quantize of q/k/v fuses
+    into the qkv dense's dequant epilogue, which then writes int8).
+
+    Softmax runs in fp32 on the rescaled int32 logits. For P·V the
+    probabilities are already in [0, 1], so they requantize at the fixed
+    scale 127 with no calibration; set ``pv_int8=False`` to keep P·V in
+    the model dtype (bf16) when the extra probability rounding is not
+    acceptable — QKᵀ (where the scale headroom is) stays int8 either way.
+    """
+    B, N, H, D = q.shape
+    qs = (jnp.maximum(q_amax.astype(jnp.float32), 1e-8) / 127.0).reshape(1, 1, H, 1)
+    ks = (jnp.maximum(k_amax.astype(jnp.float32), 1e-8) / 127.0).reshape(1, 1, H, 1)
+
+    def to_i8(x, s):
+        return jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(
+            jnp.int8
+        )
+
+    q_i8 = to_i8(q, qs)
+    k_i8 = to_i8(k, ks)
+    acc = jnp.einsum(
+        "bnhd,bmhd->bhnm", q_i8, k_i8, preferred_element_type=jnp.int32
+    )
+    # fold the per-head q/k scales and the 1/sqrt(D) softmax scale into one
+    # fp32 multiplier per head
+    logit_scale = (qs * ks).reshape(1, H, 1, 1) * (D**-0.5)
+    probs = jax.nn.softmax(acc.astype(jnp.float32) * logit_scale, axis=-1)
+    if pv_int8:
+        vs = (jnp.maximum(v_amax.astype(jnp.float32), 1e-8) / 127.0).reshape(
+            1, 1, H, 1
+        )
+        v_i8 = to_i8(v, vs)
+        p_i8 = jnp.round(probs * 127.0).astype(jnp.int8)  # probs ∈ [0, 1]
+        acc2 = jnp.einsum(
+            "bhnm,bmhd->bnhd", p_i8, v_i8, preferred_element_type=jnp.int32
+        )
+        out = acc2.astype(jnp.float32) * (vs / 127.0)
+        return out.astype(out_dtype)
+    pv = jnp.einsum(
+        "bhnm,bmhd->bnhd",
+        probs.astype(out_dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return pv.astype(out_dtype)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def int8_matmul_ste(x: jnp.ndarray, w: jnp.ndarray, out_dtype) -> jnp.ndarray:
     """Quantized-training matmul: W8A8 forward from FP MASTER weights,
@@ -197,7 +262,34 @@ def quantize_params(params, act_amax=None):
                 node["act_scale"] = _lookup_amax(act_amax, keys[:-1])
         else:
             node[keys[-1]] = leaf
+    if act_amax is not None:
+        _inject_attention_scales(out, act_amax, ())
     return out
+
+
+_ATTN_AMAX_KEYS = ("q_amax", "k_amax", "v_amax")
+
+
+def _inject_attention_scales(out, act_amax, path):
+    """Fold sown int8-attention amax into ``{q,k,v}_scale`` param leaves.
+
+    A model built with ``int8_attention=True`` sows per-head q/k/v amax
+    (shape (H,), scan-stacked to (n_pairs, H)) into the "calib" collection
+    inside each Attention scope; the ``quantized="static"`` model declares
+    matching ``q_scale``/``k_scale``/``v_scale`` params there. When the
+    calib collection has no attention entries (int8_attention off) this is
+    a no-op, so fp trees and dense-only calibrations pass through unchanged.
+    """
+    for key, val in act_amax.items():
+        if key in _ATTN_AMAX_KEYS:
+            node = out
+            for p in path:
+                node = node.setdefault(p, {})
+            if isinstance(val, (tuple, list)):  # default sow() tuple append
+                val = jnp.stack([jnp.asarray(x) for x in val]).max(axis=0)
+            node[key.replace("_amax", "_scale")] = jnp.asarray(val, jnp.float32)
+        elif isinstance(val, dict):
+            _inject_attention_scales(out, val, path + (key,))
 
 
 def _lookup_amax(act_amax, module_keys):
