@@ -72,7 +72,7 @@ class SpatioTemporalPair(nn.Module):
     mlp_ratio: float = 4.0
     attention_mode: str = "auto"
     quantized: bool = False
-    int8_attention: bool = False
+    int8_attention: object = False  # False|True/'full'|'qk' — see layers.Attention
     ring_mesh: Optional[object] = None
     ring_axis: str = "sp"
     activation_sharding: Optional[Tuple[str, ...]] = None
@@ -193,10 +193,11 @@ class Latte(nn.Module):
     # W8A8 int8 serving for the hot block matmuls; params must come from
     # latte_tpu.quant.quantize_params (see latte_tpu/quant/int8.py)
     quantized: bool = False
-    # also run the attention core (QKᵀ, P·V) int8 with calibrated per-head
-    # scales — requires quantized="static" params produced from a calib
-    # model that ALSO had int8_attention=True (quant/int8.int8_attention)
-    int8_attention: bool = False
+    # also run the attention core int8 with calibrated per-head scales —
+    # False | True/'full' (QKᵀ and P·V) | 'qk' (QKᵀ only). Requires
+    # quantized="static" params produced from a calib model that ALSO had
+    # int8_attention set (quant/int8.int8_attention)
+    int8_attention: object = False
     # mesh axes to shard the fused batch·token leading dim over, e.g.
     # ("dp", "sp") — sequence parallelism; requires jitting under a Mesh
     activation_sharding: Optional[Tuple[str, ...]] = None

@@ -48,7 +48,7 @@ class JointSpatioTemporalPair(nn.Module):
     mlp_ratio: float = 4.0
     attention_mode: str = "auto"
     quantized: bool = False
-    int8_attention: bool = False
+    int8_attention: object = False  # False|True|'full'|'qk' — see layers.Attention
     moe_experts: int = 0
     moe_top_k: int = 2
     moe_capacity_factor: float = 1.25
@@ -129,7 +129,7 @@ class LatteIMG(nn.Module):
     # W8A8 int8 serving (latte_tpu/quant)
     quantized: bool = False
     # int8 attention core with calibrated per-head scales (see models/dit.py)
-    int8_attention: bool = False
+    int8_attention: object = False  # False|True|'full'|'qk' — see layers.Attention
     # Mixture-of-Experts FF (models/moe.py); weights shard over the mesh
     # "ep" axis (moe_ep_axis) — expert parallelism
     moe_experts: int = 0

@@ -156,12 +156,18 @@ class Attention(nn.Module):
     mode: str = "auto"
     quantized: bool = False
     # int8 attention CORE (quant/int8.int8_attention): with
-    # quantized="static", QKᵀ and P·V also run int8×int8→int32 on the MXU
-    # using calibrated per-head q/k/v scales (sown here under
-    # quantized="calib"). Applies on the fused-XLA path only — the flash /
-    # ring kernels stay bf16. The last floating-point compute category of
-    # the static-W8A8 serving step (docs/tpu_notes.md round-4 conclusion).
-    int8_attention: bool = False
+    # quantized="static", the attention matmuls also run int8×int8→int32
+    # on the MXU using calibrated per-head q/k/v scales (sown here under
+    # quantized="calib"). Values: False | True/"full" (QKᵀ AND P·V int8,
+    # P·V at a per-row probability scale) | "qk" (QKᵀ int8 only; P·V stays
+    # in the model dtype). Applies on the fused-XLA path only — the flash /
+    # ring kernels stay bf16 (a warning fires when the resolved mode
+    # bypasses it; force attention_mode="xla" to keep int8 at long N).
+    # Requires quantized="calib" (to sow scales) or "static" (to serve);
+    # any other quantized value raises — the flag must never silently
+    # serve bf16. The last floating-point compute category of the
+    # static-W8A8 serving step (docs/tpu_notes.md round-4 conclusion).
+    int8_attention: object = False
     ring_mesh: Optional[object] = None  # jax.sharding.Mesh (static field)
     ring_axis: str = "sp"
     flash_min_n: int = 512  # "auto" routes N >= this to the flash kernel
@@ -185,6 +191,26 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, self.num_heads, 3, head_dim)
         q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # (B, N, H, hd)
 
+        if self.int8_attention:
+            if self.int8_attention not in (True, "full", "qk"):
+                raise ValueError(
+                    f"int8_attention={self.int8_attention!r}; expected False, "
+                    "True/'full' (QKᵀ and P·V int8) or 'qk' (QKᵀ only)"
+                )
+            if self.quantized and self.quantized not in ("static", "calib"):
+                # fail loud: with dynamic quantized=True (or QAT modes)
+                # there are no calibrated scales, so the flag would silently
+                # serve bf16 attention. quantized=False IS permitted here —
+                # it is the transient state serving CLIs go through (build
+                # the fp model, init/load params, then clone to "calib" /
+                # "static"); the config-level guard that rejects *serving*
+                # fp with the flag is models/registry.get_models.
+                raise ValueError(
+                    "int8_attention requires quantized='static' (serving, "
+                    "with params from quantize_params(act_amax=...)) or "
+                    "'calib' (the calibration pass); got "
+                    f"quantized={self.quantized!r}"
+                )
         if self.int8_attention and self.quantized == "static":
             # declared unconditionally (before the kernel dispatch below) so
             # the param tree is identical at every sequence length — a
@@ -215,6 +241,22 @@ class Attention(nn.Module):
             # N=1024 (512²) — docs/tpu_notes.md "MFU roofline".
             mode = "flash" if N >= self.flash_min_n else "xla"
 
+        if self.int8_attention and mode in ("flash", "ring"):
+            # the flash/ring kernels have no int8 core: tell the user the
+            # int8 flag is being bypassed at this sequence length rather
+            # than silently serving bf16 (set attention_mode="xla" to keep
+            # the int8 core at long N — measure both; at N>=512 bf16 flash
+            # may still win, docs/tpu_notes.md)
+            import warnings
+
+            warnings.warn(
+                f"int8_attention: resolved attention mode {mode!r} at N={N} "
+                f"(flash_min_n={self.flash_min_n}) has no int8 core — this "
+                "attention call runs bf16; force attention_mode='xla' to "
+                "keep int8 attention at this sequence length",
+                stacklevel=2,
+            )
+
         if mode == "ring":
             if self.ring_mesh is None:
                 raise ValueError(
@@ -242,7 +284,14 @@ class Attention(nn.Module):
             from latte_tpu.quant.int8 import int8_attention
 
             out = int8_attention(
-                q, k, v, qkv_amax[0], qkv_amax[1], qkv_amax[2], self.dtype
+                q,
+                k,
+                v,
+                qkv_amax[0],
+                qkv_amax[1],
+                qkv_amax[2],
+                self.dtype,
+                pv_int8=(self.int8_attention != "qk"),
             )
         elif mode == "xla":
             # native-dtype matmul with fp32 accumulation: under bf16 the
@@ -277,7 +326,7 @@ class AdaLNBlock(nn.Module):
     mlp_ratio: float = 4.0
     attention_mode: str = "auto"
     quantized: bool = False
-    int8_attention: bool = False  # int8 QKᵀ/P·V core — see Attention
+    int8_attention: object = False  # False|True/'full'|'qk' — see Attention
     ring_mesh: Optional[object] = None
     ring_axis: str = "sp"
     activation_sharding: Optional[tuple] = None

@@ -71,12 +71,25 @@ def get_models(args):
         # sharded mesh (tensor_parallel / dp / sp) must reject or drop
         # this flag — see models/layers.py AdaLNBlock.fused_adaln.
         common["fused_adaln"] = True
-    if getattr(args, "int8_attention", False):
+    ia = getattr(args, "int8_attention", False)
+    if ia:
         # int8 attention core for static-W8A8 serving (quant/int8.int8_attention):
-        # QKᵀ and P·V run int8 on the MXU with calibrated per-head scales.
-        # Applies under quantized="calib"/"static" (the calib pass sows the
-        # scales); a no-op in fp mode beyond the flag being set.
-        common["int8_attention"] = True
+        # the attention matmuls run int8 on the MXU with calibrated per-head
+        # scales. True/'full' = QKᵀ and P·V int8 (P·V at a per-row
+        # probability scale); 'qk' = QKᵀ only. Single choke point for the
+        # flag's contracts so misuse fails HERE, not as silent bf16 serving:
+        if ia not in (True, "full", "qk"):
+            raise ValueError(
+                f"int8_attention: {ia!r}; expected true, 'full' or 'qk'"
+            )
+        q = getattr(args, "quantized", None)
+        if str(q) not in ("static", "calib"):
+            raise ValueError(
+                "int8_attention requires quantized: static (the calibrated-"
+                f"scale W8A8 serving path); got quantized: {q!r} — fp, "
+                "dynamic int8 and QAT have no calibrated attention scales"
+            )
+        common["int8_attention"] = ia
     if getattr(args, "model_overrides", None):
         # explicit architecture overrides (depth/hidden_size/num_heads/...):
         # lets smoke tests and scaling sweeps shrink or reshape a registry

@@ -135,10 +135,15 @@ def int8_attention(
     into the qkv dense's dequant epilogue, which then writes int8).
 
     Softmax runs in fp32 on the rescaled int32 logits. For P·V the
-    probabilities are already in [0, 1], so they requantize at the fixed
-    scale 127 with no calibration; set ``pv_int8=False`` to keep P·V in
-    the model dtype (bf16) when the extra probability rounding is not
-    acceptable — QKᵀ (where the scale headroom is) stays int8 either way.
+    probabilities quantize at a PER-ROW scale (rowmax/127, folded into the
+    dequant multiplier): a fixed 127 scale would zero every probability
+    below ~1/254, silently dropping most of the mass of diffuse rows (a
+    near-uniform row at N=1024 quantizes to all zeros) — with the row
+    maximum as the scale, each row keeps its full relative precision and
+    needs no calibration (softmax guarantees rowmax >= 1/N > 0). Set
+    ``pv_int8=False`` to keep P·V in the model dtype (bf16) when even that
+    rounding is not acceptable — QKᵀ (where the scale headroom is) stays
+    int8 either way.
     """
     B, N, H, D = q.shape
     qs = (jnp.maximum(q_amax.astype(jnp.float32), 1e-8) / 127.0).reshape(1, 1, H, 1)
@@ -163,11 +168,17 @@ def int8_attention(
             1, 1, H, 1
         )
         v_i8 = to_i8(v, vs)
-        p_i8 = jnp.round(probs * 127.0).astype(jnp.int8)  # probs ∈ [0, 1]
+        # per-row probability scale: rowmax maps to 127, so diffuse rows
+        # keep relative precision instead of rounding to zero
+        p_max = jnp.max(probs, axis=-1, keepdims=True)  # (B, H, N, 1), >= 1/N
+        p_i8 = jnp.round(probs * (127.0 / p_max)).astype(jnp.int8)
         acc2 = jnp.einsum(
             "bhnm,bmhd->bnhd", p_i8, v_i8, preferred_element_type=jnp.int32
         )
-        out = acc2.astype(jnp.float32) * (vs / 127.0)
+        # fold the per-row 1/127 p-scale back in: p_max is (B, H, N, 1) ->
+        # the output layout's (B, N, H, 1)
+        row_scale = jnp.transpose(p_max[..., 0], (0, 2, 1))[..., None]
+        out = acc2.astype(jnp.float32) * (row_scale / 127.0) * vs
         return out.astype(out_dtype)
     pv = jnp.einsum(
         "bhnm,bmhd->bnhd",

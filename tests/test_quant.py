@@ -407,3 +407,191 @@ class TestEndTaskQuality:
         rel = np.linalg.norm(lat_q - lat_fp) / (np.linalg.norm(lat_fp) + 1e-12)
         assert cos > 0.99, cos
         assert rel < 0.1, rel
+
+
+class TestInt8Attention:
+    """int8 attention core (quant/int8.int8_attention) + model wiring."""
+
+    def _fp_attention(self, q, k, v):
+        D = q.shape[-1]
+        logits = np.einsum("bnhd,bmhd->bhnm", q, k) * (D**-0.5)
+        logits = logits - logits.max(axis=-1, keepdims=True)
+        p = np.exp(logits)
+        p = p / p.sum(axis=-1, keepdims=True)
+        return np.einsum("bhnm,bmhd->bnhd", p, v)
+
+    def _amax(self, x):
+        # per-head amax over (batch, tokens, head_dim) — what calib sows
+        return jnp.max(jnp.abs(x), axis=(0, 1, 3))
+
+    def test_matches_fp_attention(self):
+        from latte_tpu.quant import int8_attention
+
+        rng = np.random.default_rng(0)
+        q, k, v = (
+            rng.normal(size=(2, 64, 4, 16)).astype(np.float32) for _ in range(3)
+        )
+        out = np.asarray(
+            int8_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                self._amax(q), self._amax(k), self._amax(v), jnp.float32,
+            ),
+            np.float64,
+        )
+        ref = self._fp_attention(q.astype(np.float64), k.astype(np.float64),
+                                 v.astype(np.float64))
+        rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-12)
+        assert rel < 0.05, rel
+
+    def test_diffuse_rows_keep_their_mass(self):
+        """ADVICE round-4 high: a fixed P scale of 127 zeroed every prob
+        below ~1/254, so a near-uniform row at N=1024 lost ALL its mass.
+        The per-row scale must keep it: q=0 gives exactly uniform attention,
+        whose output is the mean of v."""
+        from latte_tpu.quant import int8_attention
+
+        rng = np.random.default_rng(1)
+        N = 1024
+        q = np.zeros((1, N, 1, 8), np.float32)  # uniform probs = 1/1024
+        k = rng.normal(size=(1, N, 1, 8)).astype(np.float32)
+        v = rng.normal(size=(1, N, 1, 8)).astype(np.float32)
+        out = np.asarray(
+            int8_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                jnp.ones((1,)), self._amax(k), self._amax(v), jnp.float32,
+            ),
+            np.float64,
+        )
+        ref = np.broadcast_to(v.mean(axis=1, keepdims=True), v.shape).astype(
+            np.float64
+        )
+        assert np.abs(out).max() > 0, "diffuse row quantized to zero"
+        rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-12)
+        assert rel < 0.05, rel
+
+    def test_qk_only_mode(self):
+        from latte_tpu.quant import int8_attention
+
+        rng = np.random.default_rng(2)
+        q, k, v = (
+            rng.normal(size=(1, 32, 2, 8)).astype(np.float32) for _ in range(3)
+        )
+        out = np.asarray(
+            int8_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                self._amax(q), self._amax(k), self._amax(v), jnp.float32,
+                pv_int8=False,
+            ),
+            np.float64,
+        )
+        ref = self._fp_attention(q.astype(np.float64), k.astype(np.float64),
+                                 v.astype(np.float64))
+        rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-12)
+        assert rel < 0.03, rel
+
+    def _model(self, quantized, int8_attention):
+        from latte_tpu.models.dit import Latte
+
+        return Latte(
+            input_size=8,
+            num_frames=2,
+            extras=1,
+            learn_sigma=True,
+            attention_mode="xla",
+            hidden_size=64,
+            depth=2,
+            num_heads=4,
+            patch_size=2,
+            quantized=quantized,
+            int8_attention=int8_attention,
+        )
+
+    def _calib_to_static(self, ia):
+        """The full calib -> quantize_params -> static recipe with the int8
+        attention core enabled; returns (out_fp, out_static, qparams)."""
+        fp = self._model(False, False)
+        calib_m = self._model("calib", ia)
+        static_m = self._model("static", ia)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 4, 8, 8))
+        t = jnp.array([10, 500], jnp.int32)
+        params = fp.init({"params": jax.random.PRNGKey(1)}, x, t)["params"]
+        params["final_layer"]["linear"]["kernel"] = (
+            jax.random.normal(
+                jax.random.PRNGKey(2),
+                params["final_layer"]["linear"]["kernel"].shape,
+            )
+            * 0.02
+        )
+        out_fp = fp.apply({"params": params}, x, t)
+        _, variables = calib_m.apply({"params": params}, x, t, mutable=["calib"])
+        qparams = quantize_params(params, act_amax=variables["calib"])
+        out_s = static_m.apply({"params": qparams}, x, t)
+        return out_fp, out_s, qparams
+
+    def test_model_calib_static_parity(self):
+        """End-to-end recipe (ADVICE round-4 medium): calib sows per-head
+        q/k/v amax, quantize_params folds them into {q,k,v}_scale leaves
+        with the scan-stacked (n_pairs, H) shape, and the static model with
+        the int8 attention core stays close to the fp forward."""
+        out_fp, out_s, qparams = self._calib_to_static(True)
+        attn = qparams["blocks"]["spatial"]["attn"]
+        for nm in ("q_scale", "k_scale", "v_scale"):
+            assert nm in attn, sorted(attn)
+            assert np.asarray(attn[nm]).shape == (1, 4), np.asarray(attn[nm]).shape
+            assert (np.asarray(attn[nm]) > 0).all()
+        a, b = np.asarray(out_s, np.float64), np.asarray(out_fp, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert rel < 0.12, rel
+        assert cos > 0.99, cos
+
+    def test_model_qk_mode_parity(self):
+        out_fp, out_s, _ = self._calib_to_static("qk")
+        a, b = np.asarray(out_s, np.float64), np.asarray(out_fp, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        assert rel < 0.12, rel
+
+    def test_rejects_non_static_quantized(self):
+        """The flag must never silently serve bf16 (ADVICE round-4 medium):
+        dynamic-int8 and QAT modes raise at trace time. quantized=False is
+        the permitted transient (serving CLIs init the fp model, then clone
+        to calib/static — latte_tpu/sample/sample.py); the config-level fp
+        misuse is rejected by the registry choke point instead."""
+        import pytest
+
+        x = jnp.zeros((1, 2, 4, 8, 8))
+        t = jnp.zeros((1,), jnp.int32)
+        for qmode in (True, "train"):
+            m = self._model(qmode, True)
+            with pytest.raises(ValueError, match="int8_attention requires"):
+                m.init({"params": jax.random.PRNGKey(0)}, x, t)
+        # fp transient: init must succeed (inert flag, no scales sown)
+        m = self._model(False, True)
+        params = m.init({"params": jax.random.PRNGKey(0)}, x, t)["params"]
+        assert "q_scale" not in params["blocks"]["spatial"]["attn"]
+
+    def test_registry_choke_point(self):
+        import pytest
+
+        from latte_tpu.models.registry import get_models
+
+        class Args:
+            model = "Latte-S/2"
+            image_size = 64
+            num_frames = 2
+            extras = 1
+            learn_sigma = True
+            int8_attention = True
+            quantized = True
+
+        with pytest.raises(ValueError, match="quantized: static"):
+            get_models(Args())
+        Args.quantized = False  # serving fp with the flag: also rejected
+        with pytest.raises(ValueError, match="quantized: static"):
+            get_models(Args())
+        Args.quantized = "static"
+        m = get_models(Args())
+        assert m.int8_attention is True
+        Args.int8_attention = "bogus"
+        with pytest.raises(ValueError, match="expected true"):
+            get_models(Args())
