@@ -6,6 +6,12 @@ baseline is exactly the math AdaLNBlock compiles today; the candidate is
 latte_tpu.kernels.adaln. Also checks numerical agreement.
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import jax

@@ -9,6 +9,12 @@ rounds; per-variant medians-of-rounds cancel the drift.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import jax
@@ -23,7 +29,7 @@ ITERS = 20
 ROUNDS = 5
 
 
-def build(quantized):
+def build(quantized, int8_attention=False):
     return get_model(
         "Latte-XL/2",
         input_size=32,
@@ -33,6 +39,7 @@ def build(quantized):
         attention_mode="auto",
         unroll_blocks=True,
         quantized=quantized,
+        int8_attention=int8_attention,
         dtype=jnp.bfloat16,
     )
 
@@ -67,8 +74,17 @@ def main():
     tsc = jnp.int32(49)
 
     variants = {}
-    for name, quant in (("bf16", False), ("int8_dyn", True), ("int8_static", "static")):
-        model = build(quant)
+    for name, quant, ia in (
+        ("bf16", False, False),
+        ("int8_dyn", True, False),
+        ("int8_static", "static", False),
+        # int8 attention core on top of static W8A8: at 256² both layouts
+        # (spatial N=256, temporal N=16) resolve to the xla path, so the
+        # QKᵀ/P·V int8 core applies everywhere ("full") or QKᵀ-only ("qk")
+        ("int8_attn_qk", "static", "qk"),
+        ("int8_attn_full", "static", True),
+    ):
+        model = build(quant, ia)
         p = init_for(model, x_shape, t0c)
 
         @jax.jit

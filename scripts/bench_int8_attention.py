@@ -19,6 +19,12 @@ Variants:
 Run on the TPU relay: python scripts/bench_int8_attention.py
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 
 import jax

@@ -9,6 +9,12 @@ exclusive times into the docs/tpu_notes.md roofline categories. Usage:
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import argparse
 import re
 import sys
