@@ -257,7 +257,14 @@ def main(config: Config) -> str:
 
     ckpt = getattr(config, "ckpt", None)
     if ckpt and os.path.exists(ckpt):
-        params_tree = find_model(ckpt, depth=model.depth, num_heads=model.num_heads)
+        # `prefer_ema: false` serves the raw optimizer params — needed when a
+        # run is too short for the 0.9999-decay EMA to have converged (after
+        # 2500 steps the EMA is still ~78% init); mirrors the reference's
+        # "ema"-key preference in `utils.py:find_model` otherwise.
+        params_tree = find_model(
+            ckpt, depth=model.depth, num_heads=model.num_heads,
+            prefer_ema=bool(getattr(config, "prefer_ema", True)),
+        )
         params = {"params": jax.tree_util.tree_map(jnp.asarray, params_tree)}
         logger.info(f"loaded checkpoint {ckpt}")
     else:

@@ -63,7 +63,12 @@ class BatchGenerator:
 
         ckpt = getattr(config, "ckpt", None)
         if ckpt and os.path.exists(ckpt):
-            params_tree = find_model(ckpt, depth=model.depth, num_heads=model.num_heads)
+            # `prefer_ema: false` -> raw params (short runs where the EMA
+            # hasn't converged); see sample.py for the rationale
+            params_tree = find_model(
+                ckpt, depth=model.depth, num_heads=model.num_heads,
+                prefer_ema=bool(getattr(config, "prefer_ema", True)),
+            )
             params = {"params": jax.tree_util.tree_map(jnp.asarray, params_tree)}
         else:
             x0 = jnp.zeros((1, self.frames, 4, self.latent, self.latent))

@@ -104,6 +104,9 @@ def main():
                     help="trained checkpoint (orbax dir or reference .pt); "
                     "fidelity at real weights instead of random init")
     ap.add_argument("--out", default=None, help="write the table as JSON")
+    ap.add_argument("--raw-params", action="store_true",
+                    help="load the raw optimizer params instead of the EMA "
+                    "(short runs where the 0.9999-decay EMA hasn't converged)")
     args = ap.parse_args()
 
     print("backend:", jax.default_backend())
@@ -121,7 +124,8 @@ def main():
         from latte_tpu.train.checkpoint import find_model
 
         params_f32 = jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, jnp.float32), find_model(args.ckpt)
+            lambda a: jnp.asarray(a, jnp.float32),
+            find_model(args.ckpt, prefer_ema=not args.raw_params),
         )
         rp = {
             "params": jax.tree_util.tree_map(
