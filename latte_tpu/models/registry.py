@@ -65,6 +65,13 @@ def get_models(args):
         common["gradient_checkpointing"] = True
         if getattr(args, "remat_policy", None):
             common["remat_policy"] = str(args.remat_policy)
+    if getattr(args, "unroll_blocks", None) is not None:
+        # lax.scan execution hint only — the stacked param tree, shardings
+        # and checkpoints are identical either way. Unrolling folds away
+        # the scan's per-iteration weight-slice copies (measured +26% on
+        # the XL/2 train step, docs/tpu_notes.md "training roofline") at
+        # the cost of a larger program / longer compile.
+        common["unroll_blocks"] = bool(args.unroll_blocks)
     if getattr(args, "fused_adaln", False):
         # Pallas-fused LN+modulate+residual glue (kernels/adaln.py). A
         # pallas_call is opaque to GSPMD, so entry points that build a

@@ -160,24 +160,42 @@ def find_xplane(logdir: str) -> str:
     return max(hits)[1]
 
 
-def device_op_totals(planes: List[Plane]) -> Dict[str, Tuple[float, int]]:
+def device_op_totals(
+    planes: List[Plane], *, async_lines: bool = False
+) -> Dict[str, Tuple[float, int]]:
     """Sum device-plane op durations by event name.
 
-    Returns {event_name: (total_ms, count)} over every line of every
-    TPU device plane (XLA Ops lines hold the leaf fusions, which are
-    non-overlapping per core — their sum is exclusive device time).
+    Returns {event_name: (total_ms, count)} over the compute lines of
+    every TPU device plane ("XLA Ops" holds the leaf fusions, which are
+    non-overlapping per core — their sum is exclusive device time and
+    matches the wall step). With ``async_lines=True`` it instead sums the
+    "Async XLA Ops" lines: DMA-queue copies that run CONCURRENTLY with
+    the compute line (their total routinely exceeds the wall step — it is
+    overlap, not serial time; the training step shows ~1.8k async weight/
+    remat prefetches per step this way).
     """
     totals: Dict[str, List[float]] = defaultdict(lambda: [0.0, 0])
     for plane in planes:
         if "/device:TPU" not in plane.name and "TPU" not in plane.name:
             continue
         for line in plane.lines:
-            # steps/modules lines double-count their children
+            # steps/modules lines double-count their children; async DMA
+            # lines overlap the compute line (opt-in via async_lines)
             lname = line.name.lower()
             if "step" in lname or "module" in lname:
                 continue
+            if ("async" in lname) != async_lines:
+                continue
             for ev in line.events:
                 name = plane.event_names.get(ev.metadata_id, f"#{ev.metadata_id}")
+                # control-flow wrapper events span their body ops, which
+                # are ALSO emitted on the same line — counting both nearly
+                # doubles scan/while-heavy programs (measured: the scanned
+                # train step sums to 287 ms/step with wrappers vs its
+                # 170 ms wall; 169 ms without)
+                root = name.split(".", 1)[0]
+                if root in ("while", "conditional", "call"):
+                    continue
                 t = totals[name]
                 t[0] += ev.duration_ps / 1e9
                 t[1] += 1

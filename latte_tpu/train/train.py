@@ -337,6 +337,23 @@ def main(config: Config, callbacks=None) -> dict:
         model = model.clone(fused_adaln=False)
     local_batch = int(getattr(config, "local_batch_size", 5))
     global_batch = local_batch * dp
+    if (
+        getattr(config, "unroll_blocks", None) is None
+        and jax.default_backend() == "tpu"
+        and n_dev == 1
+        and local_batch == 1
+        and not bool(getattr(config, "fsdp", False))
+    ):
+        # Unroll the scanned pair stack for unsharded single-chip training
+        # at per-step batch 1: lax.scan over stacked weights issues ~1.8k
+        # small async weight-slice copies per step that stall the MXU
+        # (measured 170.1 -> 134.4 ms/step at XL/2 B=1, docs/tpu_notes.md
+        # "training roofline"). Pure execution hint — params/checkpoints/
+        # shardings identical. Gated to batch 1 because unrolling raises
+        # peak HBM (XL B=2 unrolled OOMs at 19.05G where the scan fits and
+        # runs 330 ms/step); sharded meshes keep the scan (program size
+        # and compile time grow with the mesh; not measured there).
+        model = model.clone(unroll_blocks=True)
 
     extras = int(getattr(config, "extras", 1))
     frames = int(getattr(config, "num_frames", 16))
