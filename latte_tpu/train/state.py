@@ -77,16 +77,27 @@ def make_optimizer(
     schedule: str = "warmup",
     decay_steps: int = 0,
     lr_min: float = 0.0,
+    mu_dtype: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """AdamW; ``decay_mask`` (pytree/callable of bools) restricts weight
     decay to trainable leaves — frozen (zero-grad) params must not decay
-    (the reference's requires_grad=False exempts them implicitly)."""
+    (the reference's requires_grad=False exempts them implicitly).
+
+    ``mu_dtype`` (e.g. ``jnp.bfloat16``) stores the FIRST moment at reduced
+    precision — the single-chip training step is bound by optimizer-state
+    HBM traffic (docs/tpu_notes.md "training roofline"), and mu's per-step
+    increment is (1-b1)=10% of the gradient, comfortably above bf16's
+    ~0.4% resolution. The second moment must stay fp32: its increment is
+    (1-b2)=0.1% of magnitude, BELOW bf16 resolution — a bf16 nu would stop
+    accumulating entirely (the same argument keeps the 0.9999-decay EMA
+    fp32)."""
     return optax.adamw(
         make_lr_schedule(
             lr, warmup_steps, schedule=schedule, decay_steps=decay_steps, lr_min=lr_min
         ),
         weight_decay=weight_decay,
         mask=decay_mask,
+        mu_dtype=mu_dtype,
     )
 
 

@@ -35,6 +35,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     *,
     ema_decay: float = 0.9999,
+    ema_every: int = 1,
     clip_max_norm: float = 0.1,
     start_clip_iter: int = 0,
     extras: int = 1,
@@ -237,7 +238,23 @@ def make_train_step(
 
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        ema_params = update_ema(state.ema_params, params, ema_decay)
+        if ema_every <= 1:
+            ema_params = update_ema(state.ema_params, params, ema_decay)
+        else:
+            # EMA refresh every K steps at decay^K — the same time constant
+            # as per-step EMA to first order (the K-1 skipped params are
+            # approximated by the K-th; decay 0.9999 moves 1e-4 per step, so
+            # the within-window drift is negligible). The lax.cond identity
+            # branch lets XLA skip the 2×params HBM read+write on the K-1
+            # off-steps — the EMA share of the optimizer-bandwidth floor
+            # (docs/tpu_notes.md "training roofline").
+            ema_params = jax.lax.cond(
+                (state.step + 1) % ema_every == 0,
+                lambda e, p: update_ema(e, p, ema_decay**ema_every),
+                lambda e, p: e,
+                state.ema_params,
+                params,
+            )
 
         new_state = TrainState(
             step=state.step + 1,

@@ -283,6 +283,15 @@ def main(config: Config, callbacks=None) -> dict:
         decay_mask=(
             trainable_temporal_attn_mask if fixed_spatial else None
         ),
+        # bf16 first-moment storage: cuts Adam-state HBM traffic (the
+        # single-chip step's 31% bandwidth floor, docs/tpu_notes.md
+        # "training roofline"); nu/EMA stay fp32 (their per-step
+        # increments are below bf16 resolution)
+        mu_dtype=(
+            jnp.bfloat16
+            if str(getattr(config, "adam_mu_dtype", "") or "") == "bfloat16"
+            else None
+        ),
     )
 
     n_dev = jax.device_count()
@@ -581,6 +590,9 @@ def main(config: Config, callbacks=None) -> dict:
         diffusion,
         optimizer,
         ema_decay=float(getattr(config, "ema_decay", 0.9999)),
+        # EMA refresh every K steps at decay^K (same time constant);
+        # skips the 2×params EMA read+write on off-steps
+        ema_every=int(getattr(config, "ema_every", 1) or 1),
         clip_max_norm=float(getattr(config, "clip_max_norm", 0.1)),
         start_clip_iter=int(getattr(config, "start_clip_iter", 0) or 0),
         extras=extras,

@@ -52,7 +52,13 @@ FWD_TFLOP = 3.72
 PEAK_TFLOPS = 197.0
 
 
-def bench_one(batch_size: int, remat: str, unroll: bool = False) -> dict:
+def bench_one(
+    batch_size: int,
+    remat: str,
+    unroll: bool = False,
+    mu_bf16: bool = False,
+    ema_every: int = 1,
+) -> dict:
     model = get_model(
         "Latte-XL/2",
         input_size=32,
@@ -65,9 +71,14 @@ def bench_one(batch_size: int, remat: str, unroll: bool = False) -> dict:
         remat_policy="full" if remat == "none" else remat,
         dtype=jnp.bfloat16,
     )
-    opt = make_optimizer(lr=1e-4)
+    opt = make_optimizer(lr=1e-4, mu_dtype=jnp.bfloat16 if mu_bf16 else None)
     step = jax.jit(
-        make_train_step(model, create_diffusion("", diffusion_steps=1000), opt),
+        make_train_step(
+            model,
+            create_diffusion("", diffusion_steps=1000),
+            opt,
+            ema_every=ema_every,
+        ),
         donate_argnums=(0,),
     )
     rng = jax.random.PRNGKey(0)
@@ -124,6 +135,14 @@ def main():
         "weights (the B=1 trace shows ~1760 small async copies/step from "
         "scan's weight slicing + grad dynamic-update-slices)",
     )
+    ap.add_argument(
+        "--mu-bf16", action="store_true",
+        help="store the Adam first moment in bf16 (adam_mu_dtype: bfloat16)",
+    )
+    ap.add_argument(
+        "--ema-every", type=int, default=1,
+        help="EMA refresh every K steps at decay^K (ema_every: K)",
+    )
     args = ap.parse_args()
 
     if args.one:
@@ -131,7 +150,10 @@ def main():
         # relay compile service to one big program at a time (a dozen
         # XL-train compiles in one process produced HTTP 500s from the
         # remote compiler)
-        r = bench_one(int(args.one[0]), args.one[1], unroll=args.unroll)
+        r = bench_one(
+            int(args.one[0]), args.one[1], unroll=args.unroll,
+            mu_bf16=args.mu_bf16, ema_every=args.ema_every,
+        )
         print("RESULT " + json.dumps(r))
         return
 
@@ -144,6 +166,10 @@ def main():
                 cmd = [_sys.executable, _os.path.abspath(__file__), "--one", str(b), remat]
                 if args.unroll:
                     cmd.append("--unroll")
+                if args.mu_bf16:
+                    cmd.append("--mu-bf16")
+                if args.ema_every != 1:
+                    cmd += ["--ema-every", str(args.ema_every)]
                 proc = subprocess.run(
                     cmd, capture_output=True, text=True, timeout=900,
                 )

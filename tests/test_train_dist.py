@@ -187,6 +187,78 @@ class TestTrainStep:
         np.testing.assert_allclose(np.asarray(out["w"]), 0.9)
 
 
+class TestOptimizerStateKnobs:
+    """The two optimizer-bandwidth knobs from the round-5 training
+    roofline (docs/tpu_notes.md): bf16 first-moment storage and
+    every-K-steps EMA at decay^K."""
+
+    def test_mu_bf16_moments_and_numerics(self):
+        model, diffusion, _, _ = tiny_setup()
+        batch = {
+            "latents": jax.random.normal(jax.random.PRNGKey(2), (4, 2, 4, 8, 8)) * 0.5
+        }
+        rng = jax.random.PRNGKey(3)
+
+        def run(mu_dtype):
+            opt = make_optimizer(lr=1e-3, mu_dtype=mu_dtype)
+            x = jnp.zeros((2, 2, 4, 8, 8))
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0)}, x, jnp.zeros((2,), jnp.int32)
+            )
+            state = create_train_state(variables["params"], opt)
+            step = jax.jit(make_train_step(model, diffusion, opt))
+            for _ in range(5):
+                state, metrics = step(state, batch, rng)
+            return state, float(metrics["loss"])
+
+        state_bf16, loss_bf16 = run(jnp.bfloat16)
+        state_fp32, loss_fp32 = run(None)
+        # mu stored bf16, nu stays fp32 (its 1e-3 increments are below
+        # bf16 resolution — see make_optimizer docstring)
+        adam_state = state_bf16.opt_state[0]
+        mu_dtypes = {l.dtype for l in jax.tree_util.tree_leaves(adam_state.mu)}
+        nu_dtypes = {l.dtype for l in jax.tree_util.tree_leaves(adam_state.nu)}
+        assert mu_dtypes == {jnp.dtype(jnp.bfloat16)}
+        assert nu_dtypes == {jnp.dtype(jnp.float32)}
+        assert np.isfinite(loss_bf16)
+        # trajectory stays close to the fp32-moment run
+        np.testing.assert_allclose(loss_bf16, loss_fp32, rtol=0.05)
+        p_b = jax.tree_util.tree_leaves(state_bf16.params)[0]
+        p_f = jax.tree_util.tree_leaves(state_fp32.params)[0]
+        np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_f), atol=5e-4)
+
+    def test_ema_every_semantics(self):
+        model, diffusion, optimizer, state0 = tiny_setup()
+        batch = {"latents": jnp.ones((2, 2, 4, 8, 8)) * 0.1}
+        rng = jax.random.PRNGKey(0)
+        step = jax.jit(
+            make_train_step(model, diffusion, optimizer, ema_decay=0.5, ema_every=2)
+        )
+        e0 = np.asarray(jax.tree_util.tree_leaves(state0.ema_params)[0]).copy()
+        state1, _ = step(state0, batch, rng)
+        # step 1 of 2: EMA untouched
+        e1 = np.asarray(jax.tree_util.tree_leaves(state1.ema_params)[0])
+        np.testing.assert_array_equal(e1, e0)
+        state2, _ = step(state1, batch, rng)
+        # step 2: one refresh at decay^2 against the CURRENT params
+        e2 = np.asarray(jax.tree_util.tree_leaves(state2.ema_params)[0])
+        p2 = np.asarray(jax.tree_util.tree_leaves(state2.params)[0])
+        np.testing.assert_allclose(e2, 0.25 * e0 + 0.75 * p2, rtol=1e-5, atol=1e-7)
+
+    def test_cli_plumbing(self, tmp_path):
+        from latte_tpu.train.train import main
+        from tests.test_train_loop import tiny_train_cfg
+
+        out = main(
+            tiny_train_cfg(
+                tmp_path, adam_mu_dtype="bfloat16", ema_every=2,
+                max_train_steps=4, ckpt_every=100,
+            )
+        )
+        assert out["final_step"] == 4
+        assert np.isfinite(out["loss"])
+
+
 class TestMesh:
     def test_make_mesh_shapes(self):
         mesh = make_mesh(MeshConfig(dp=4, tp=2))
