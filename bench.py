@@ -56,6 +56,86 @@ def main() -> None:
     from latte_tpu.models import get_model
 
     on_tpu = jax.default_backend() == "tpu"
+
+    rng = jax.random.PRNGKey(0)
+    x_shape = (BATCH, 16, 4, 32, 32)
+    t0c = jnp.zeros((BATCH,), jnp.int32)
+    extra = {}
+
+    # --- training throughput FIRST, while the chip is empty: the fused
+    # jitted train step (fwd + bwd + AdamW + EMA, `train/step.py`) on
+    # synthetic latents at the production config — XL/2, B=1, bf16 compute
+    # over fp32 masters, full remat (ffs_train.yaml
+    # gradient_checkpointing). Tracked per round like serving so
+    # train-side regressions show in BENCH_rN. Category breakdown +
+    # batch/remat sweep: docs/tpu_notes.md "training roofline".
+    #
+    # Ordering is load-bearing: the train state (params + fp32 masters +
+    # Adam moments + EMA, ~11 GB at XL) needs the chip nearly empty —
+    # running it after the serving sections RESOURCE_EXHAUSTED even with
+    # their param trees explicitly del'd (fragmentation + live jit
+    # constants; measured twice).
+    if os.environ.get("BENCH_QUICK", "") != "1":
+        try:
+            from latte_tpu.train import create_train_state, make_train_step
+            from latte_tpu.train.state import make_optimizer
+
+            tr_model = get_model(
+                "Latte-XL/2",
+                input_size=32,
+                num_frames=16,
+                extras=1,
+                learn_sigma=True,
+                attention_mode="auto" if on_tpu else "xla",
+                # the shipped single-chip default (train.py auto-unroll):
+                # scan's weight-slice copies cost 26% (170.5 -> 135.3
+                # ms/step, docs/tpu_notes.md "training roofline")
+                unroll_blocks=on_tpu,
+                gradient_checkpointing=True,
+                dtype=jnp.bfloat16,
+            )
+            tr_opt = make_optimizer(lr=1e-4)
+            tr_step = jax.jit(
+                make_train_step(
+                    tr_model, create_diffusion("", diffusion_steps=1000), tr_opt
+                ),
+                donate_argnums=(0,),
+            )
+            # REAL initializers (unlike the serving benches' fills): a
+            # uniform fill makes every dense a row-summer, residuals grow
+            # multiplicatively over the 28 blocks and the first backward
+            # overflows (measured: mse 8.6e5 at step 0, grad_norm NaN)
+            @jax.jit
+            def tr_init():
+                p = tr_model.init(
+                    {"params": rng}, jnp.zeros(x_shape, jnp.float32), t0c
+                )
+                return create_train_state(p["params"], tr_opt)
+
+            tr_state = tr_init()
+            batch = {
+                "latents": jax.random.normal(
+                    jax.random.PRNGKey(17), x_shape, jnp.float32
+                )
+            }
+            tr_state, m = tr_step(tr_state, batch, jax.random.PRNGKey(18))
+            assert np.isfinite(float(m["loss"]))  # compile + sanity
+            TR_ITERS = 20
+            t0 = time.perf_counter()
+            for i in range(TR_ITERS):
+                tr_state, m = tr_step(tr_state, batch, jax.random.PRNGKey(19 + i))
+            lossv = float(m["loss"])  # forces the chain
+            tr_dt = time.perf_counter() - t0
+            assert np.isfinite(lossv)
+            extra["train_steps_per_s"] = round(TR_ITERS / tr_dt, 2)
+            # free the ~11 GB train state before the serving sections
+            del tr_state, tr_step, tr_init, batch, m
+        except Exception as e:
+            extra["bench_train_error"] = repr(e)[:160]
+        import gc
+
+        gc.collect()
+
     model = get_model(
         "Latte-XL/2",
         input_size=32,
@@ -67,10 +147,6 @@ def main() -> None:
         dtype=jnp.bfloat16,
     )
     diffusion = create_diffusion(f"ddim{STEPS}")
-
-    rng = jax.random.PRNGKey(0)
-    x_shape = (BATCH, 16, 4, 32, 32)
-    t0c = jnp.zeros((BATCH,), jnp.int32)
 
     # Throughput benching doesn't need trained values; zero-filled params of
     # the exact shapes avoid a multi-minute random-init execution through
@@ -118,7 +194,7 @@ def main() -> None:
     assert np.isfinite(val)
 
     videos_per_min = BATCH * n_runs * 60.0 / elapsed
-    extra = {"videos_per_min_host_loop": round(videos_per_min, 3)}
+    extra["videos_per_min_host_loop"] = round(videos_per_min, 3)
 
     # --- fully on-device sampler: the whole DDIM chain as one lax.scan
     # (one dispatch per video, zero host involvement). The round-1 relay
@@ -315,6 +391,81 @@ def main() -> None:
         except Exception as e:
             extra["int8_quality_error"] = repr(e)[:120]
 
+        # --- int8 attention core on top of static W8A8 (round 5): QKᵀ and
+        # P·V run int8 with calibrated per-head scales, P·V at a per-row
+        # probability scale. Interleaved A/B (scripts/bench_int8_ab.py):
+        # 20.15 vs 22.09 ms/step (−8.8%); 'qk'-only LOSES (29.6) — the
+        # mixed-dtype chain breaks XLA's fused attention emitter. Same
+        # zeros-timing + shared-random-weights quality guard pattern.
+        try:
+            iamodel = model.clone(
+                quantized="static", int8_attention=True, unroll_blocks=False
+            )
+            iashapes = jax.eval_shape(
+                lambda: iamodel.init(
+                    {"params": rng}, jnp.zeros(x_shape, jnp.float32), t0c
+                )
+            )
+
+            @jax.jit
+            def init_ia():
+                def mk(s):
+                    if s.dtype == jnp.int8:
+                        return jnp.zeros(s.shape, jnp.int8)
+                    if s.dtype == jnp.float32:
+                        return jnp.full(s.shape, 0.01, jnp.float32)
+                    return jnp.zeros(s.shape, jnp.bfloat16)
+
+                return jax.tree_util.tree_map(mk, iashapes)
+
+            iaparams0 = init_ia()
+            ia_scan = make_scan_sampler(iamodel)
+            zia = jax.random.normal(jax.random.PRNGKey(5), x_shape, jnp.float32)
+            np.asarray(ia_scan(iaparams0, zia)[0, 0, 0, 0, 0])  # compile
+            t0 = time.perf_counter()
+            for i in range(n_runs):
+                zia = ia_scan(iaparams0, zia)
+            via = np.asarray(zia[0, 0, 0, 0, 0])
+            assert np.isfinite(via)
+            extra["videos_per_min_int8_attn"] = round(
+                BATCH * n_runs * 60.0 / (time.perf_counter() - t0), 3
+            )
+
+            # quality guard: the calib model with int8_attention also sows
+            # per-head q/k/v amax; quantize_params folds them into the
+            # {q,k,v}_scale leaves the static model consumes
+            ciamodel = model.clone(
+                quantized="calib", int8_attention=True, unroll_blocks=False
+            )
+
+            @jax.jit
+            def calib_amax_ia(p, x, t_scalar):
+                t = jnp.full((x.shape[0],), t_scalar, jnp.int32)
+                _, variables = ciamodel.apply(p, x, t, mutable=["calib"])
+                return variables["calib"]
+
+            amax_ia = None
+            for tc in (999, 500, 0):
+                amax_ia = merge_amax(amax_ia, calib_amax_ia(rparams, zc, jnp.int32(tc)))
+            iaqparams = {
+                "params": quantize_params(rparams["params"], act_amax=amax_ia)
+            }
+            lat_ia = np.asarray(ia_scan(iaqparams, zq0), np.float64)
+            if np.isfinite(lat_ia).all() and np.isfinite(lat_bf16).all():
+                cos = float(
+                    (lat_ia * lat_bf16).sum()
+                    / (np.linalg.norm(lat_ia) * np.linalg.norm(lat_bf16) + 1e-12)
+                )
+                rel = float(
+                    np.linalg.norm(lat_ia - lat_bf16)
+                    / (np.linalg.norm(lat_bf16) + 1e-12)
+                )
+                extra["int8_attn_latent_cos_vs_bf16"] = round(cos, 4)
+                extra["int8_attn_latent_rel_err"] = round(rel, 4)
+                extra["int8_attn_quality_ok"] = bool(cos > 0.99 and rel < 0.15)
+        except Exception as e:
+            extra["int8_attn_error"] = repr(e)[:120]
+
         # --- decode-inclusive throughput: SD AutoencoderKL decode of the 16
         # latent frames (weights random — conv cost is value-independent)
         try:
@@ -381,6 +532,34 @@ def main() -> None:
             extra["videos_per_min_int8_block_cache"] = round(
                 BATCH * n_runs * 60.0 / (time.perf_counter() - t0), 3
             )
+
+            try:
+                # int8 attention composes with block-cache (both are
+                # static-model clones; the cached scan jits over the same
+                # param tree plus the per-head scale leaves)
+                iam_scan = iamodel  # already unroll_blocks=False
+
+                @jax.jit
+                def bc_ia(p, z):
+                    return cached_sample_loop(
+                        diffusion, iam_scan, p, z,
+                        cache_pairs=BC_K, cache_interval=BC_INT,
+                    )
+
+                zbi = jax.random.normal(
+                    jax.random.PRNGKey(33), x_shape, jnp.float32
+                )
+                np.asarray(bc_ia(iaparams0, zbi)[0, 0, 0, 0, 0])  # compile
+                t0 = time.perf_counter()
+                for _ in range(n_runs):
+                    zbi = bc_ia(iaparams0, zbi)
+                vbi = np.asarray(zbi[0, 0, 0, 0, 0])
+                assert np.isfinite(vbi)
+                extra["videos_per_min_int8_attn_block_cache"] = round(
+                    BATCH * n_runs * 60.0 / (time.perf_counter() - t0), 3
+                )
+            except Exception as e:
+                extra["int8_attn_block_cache_error"] = repr(e)[:120]
 
             # fidelity: cached vs exact chain on shared random weights
             @jax.jit
@@ -475,6 +654,126 @@ def main() -> None:
                 )
         except Exception as e:
             extra["bench128f_error"] = repr(e)[:120]
+
+        # --- T2V 512² serving: the reference's flagship USER budget
+        # (`/root/reference/configs/t2x/t2v_sample.yaml:19-28`: DDIM-50,
+        # guidance 7.5, 16×512², temporal decode). Timed through the real
+        # LattePipeline host loop (CFG batch-2 transformer at Latte-1
+        # scale) with a fixed stand-in text embedding — T5 encode is a
+        # one-off per prompt and is excluded, matching how producers cache
+        # prompt embeddings. Where T2V diverges from the class-conditional
+        # roofline: 4096-token spatial self-attention (flash-routed),
+        # +cross-attention to 120 T5 tokens per block, adaLN-single
+        # (shared table, per-block shift tables) — see docs/tpu_notes.md.
+        try:
+            from latte_tpu.core.scheduler import get_scheduler
+            from latte_tpu.models.t2v import LatteT2V
+            from latte_tpu.sample.pipeline_t2v import LattePipeline
+
+            class _FixedText:
+                """Stand-in with the T5TextEncoder interface (fixed embeds)."""
+
+                def encode_with_negative(self, prompts, negative_prompt="", clean=True):
+                    b = len(prompts)
+                    c = jnp.full((b, 120, 4096), 0.01, jnp.float32)
+                    m = jnp.ones((b, 120), jnp.int32)
+                    return c, m, jnp.zeros_like(c), m
+
+            t2v_kw = dict(
+                num_attention_heads=16, attention_head_dim=72, num_layers=28,
+                caption_channels=4096, cross_attention_dim=1152,
+                video_length=16, sample_size=64,  # 512² pixels / 8
+                attention_mode="auto", unroll_blocks=False,
+                dtype=jnp.bfloat16,
+            )
+
+            def t2v_zeros(m):
+                sh = jax.eval_shape(
+                    lambda: m.init(
+                        {"params": rng},
+                        jnp.zeros((2, 4, 16, 64, 64), jnp.float32),
+                        jnp.zeros((2,), jnp.int32),
+                        jnp.zeros((2, 120, 4096), jnp.float32),
+                        None,
+                    )
+                )
+
+                @jax.jit
+                def mk():
+                    def f(s):
+                        if s.dtype == jnp.int8:
+                            return jnp.zeros(s.shape, jnp.int8)
+                        if s.dtype == jnp.float32:
+                            return jnp.full(s.shape, 0.01, jnp.float32)
+                        return jnp.zeros(s.shape, jnp.bfloat16)
+
+                    return jax.tree_util.tree_map(f, sh)
+
+                return mk()
+
+            for tag, t2v_quant, bc in (
+                ("videos_per_min_t2v_512", False, 0),
+                ("videos_per_min_t2v_512_int8", "static", 0),
+                ("videos_per_min_t2v_512_int8_block_cache", "static", 2),
+            ):
+                tm = LatteT2V(quantized=t2v_quant, **t2v_kw)
+                pipe = LattePipeline(
+                    transformer=tm,
+                    transformer_params=t2v_zeros(tm),
+                    scheduler=get_scheduler("DDIM"),
+                    text_encoder=_FixedText(),
+                    block_cache_interval=bc,  # default k = 2/3 of 28 pairs
+                )
+                kw = dict(
+                    video_length=16, height=512, width=512,
+                    num_inference_steps=STEPS, guidance_scale=7.5,
+                    output_type="latents", clean_caption=False,
+                )
+                out = pipe("bench prompt", seed=1, **kw)  # compile
+                assert np.isfinite(out.video).all()
+                t0 = time.perf_counter()
+                out = pipe("bench prompt", seed=2, **kw)
+                dt = time.perf_counter() - t0
+                assert np.isfinite(np.asarray(out.video)[0, 0, 0, 0, 0])
+                extra[tag] = round(60.0 / dt, 3)
+
+            # chunk-14 SVD temporal decode of one 16×512² video (the
+            # enable_vae_temporal_decoder=true path) — conv cost is
+            # value-independent, random weights
+            from latte_tpu.vae.temporal_decoder import TemporalDecoder
+
+            tdec = TemporalDecoder(dtype=jnp.bfloat16)
+            tdp = jax.jit(
+                lambda: tdec.init(
+                    {"params": rng}, jnp.zeros((1, 4, 64, 64)), num_frames=1
+                )
+            )()
+            pipe_dec = LattePipeline(
+                transformer=tm, transformer_params=None,
+                scheduler=get_scheduler("DDIM"),
+                temporal_decoder=tdec, temporal_decoder_params=tdp,
+            )
+            zlat = jax.random.normal(
+                jax.random.PRNGKey(5), (1, 4, 16, 64, 64), jnp.float32
+            )
+            pipe_dec.decode_latents_with_temporal_decoder(zlat)  # compile
+            t0 = time.perf_counter()
+            vid = pipe_dec.decode_latents_with_temporal_decoder(zlat)
+            dec_s = time.perf_counter() - t0
+            assert np.isfinite(vid).all()
+            extra["t2v_512_temporal_decode_s"] = round(dec_s, 3)
+            for src, dst in (
+                ("videos_per_min_t2v_512", "videos_per_min_t2v_512_with_decode"),
+                (
+                    "videos_per_min_t2v_512_int8_block_cache",
+                    "videos_per_min_t2v_512_int8_bc_with_decode",
+                ),
+            ):
+                base = extra.get(src)
+                if base:
+                    extra[dst] = round(60.0 / (60.0 / base + dec_s), 3)
+        except Exception as e:
+            extra["bench_t2v_error"] = repr(e)[:160]
 
     print(
         json.dumps(
