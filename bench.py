@@ -39,9 +39,68 @@ STEPS = 50
 
 def main() -> None:
     import os
+    import signal
+    import sys
 
     import jax
     import jax.numpy as jnp
+
+    # --- robustness for unattended (driver) runs: the full bench is many
+    # multi-minute compile+measure sections; if the harness times out and
+    # SIGTERMs us mid-section, everything measured so far must still reach
+    # stdout as the one JSON line. Likewise a soft time budget skips
+    # not-yet-started sections once exceeded (the headline always runs).
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "2400"))
+    hl = {"vpm": 0.0, "emitted": False}
+    extra = {}
+
+    def emit(partial: bool = False) -> None:
+        if hl["emitted"]:
+            return
+        hl["emitted"] = True
+        if partial:
+            extra["partial"] = True
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        "videos/min/chip (Latte-XL/2 16f 256², DDIM-50, latents)"
+                    ),
+                    "value": round(hl["vpm"], 3),
+                    "unit": "videos/min/chip",
+                    "vs_baseline": round(hl["vpm"] / A100_EST_VIDEOS_PER_MIN, 3),
+                    "extra": extra,
+                }
+            ),
+            flush=True,
+        )
+
+    def on_term(signum, frame):
+        extra["partial_reason"] = (
+            f"signal {signum} at {round(time.monotonic() - t_start)}s"
+        )
+        emit(partial=True)
+        sys.exit(1)
+
+    signal.signal(signal.SIGTERM, on_term)
+
+    def budget_ok(section: str) -> bool:
+        if time.monotonic() - t_start < budget_s:
+            return True
+        extra.setdefault("skipped_over_budget", []).append(section)
+        return False
+
+    class SkipSection(Exception):
+        """Raised at a section head once the soft time budget is spent."""
+
+    def check_budget(section: str) -> None:
+        if not budget_ok(section):
+            raise SkipSection(section)
+
+    def record_err(key: str, e: Exception) -> None:
+        if not isinstance(e, SkipSection):
+            extra[key] = repr(e)[:160]
 
     # persistent compile cache: repeat driver runs skip the ~20s compiles
     try:
@@ -60,7 +119,6 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     x_shape = (BATCH, 16, 4, 32, 32)
     t0c = jnp.zeros((BATCH,), jnp.int32)
-    extra = {}
 
     # --- training throughput FIRST, while the chip is empty: the fused
     # jitted train step (fwd + bwd + AdamW + EMA, `train/step.py`) on
@@ -194,6 +252,7 @@ def main() -> None:
     assert np.isfinite(val)
 
     videos_per_min = BATCH * n_runs * 60.0 / elapsed
+    hl["vpm"] = videos_per_min
     extra["videos_per_min_host_loop"] = round(videos_per_min, 3)
 
     # --- fully on-device sampler: the whole DDIM chain as one lax.scan
@@ -231,6 +290,7 @@ def main() -> None:
         extra["videos_per_min_scan_loop"] = round(scan_vpm, 3)
         if scan_vpm > videos_per_min:
             videos_per_min, elapsed = scan_vpm, scan_elapsed
+            hl["vpm"] = videos_per_min
     except Exception as e:
         extra["scan_loop_error"] = repr(e)[:120]
 
@@ -269,6 +329,7 @@ def main() -> None:
         # relay session. Constant-baked weights and 2D-flattened dots were
         # both tried and do NOT win (docs/tpu_notes.md, round-4 int8 notes).
         try:
+            check_budget("int8")
             qmodel = model.clone(quantized="static")
             qshapes = jax.eval_shape(
                 lambda: qmodel.init(
@@ -328,9 +389,10 @@ def main() -> None:
             extra["int8_mode"] = "static-W8A8"
 
         except Exception as e:
-            extra["int8_error"] = repr(e)[:120]
+            record_err("int8_error", e)
 
         try:
+            check_budget("int8_quality")
             # --- int8 end-task quality guard: identical x_T through the
             # bf16 and static-int8 DDIM-50 chains with SHARED random
             # weights (the timing runs above use zero weights —
@@ -389,7 +451,7 @@ def main() -> None:
                 # (measured 2026-08: cos=1.0000, rel=0.0075)
                 extra["int8_quality_ok"] = bool(cos > 0.99 and rel < 0.1)
         except Exception as e:
-            extra["int8_quality_error"] = repr(e)[:120]
+            record_err("int8_quality_error", e)
 
         # --- int8 attention core on top of static W8A8 (round 5): QKᵀ and
         # P·V run int8 with calibrated per-head scales, P·V at a per-row
@@ -398,6 +460,7 @@ def main() -> None:
         # mixed-dtype chain breaks XLA's fused attention emitter. Same
         # zeros-timing + shared-random-weights quality guard pattern.
         try:
+            check_budget("int8_attn")
             iamodel = model.clone(
                 quantized="static", int8_attention=True, unroll_blocks=False
             )
@@ -464,11 +527,12 @@ def main() -> None:
                 extra["int8_attn_latent_rel_err"] = round(rel, 4)
                 extra["int8_attn_quality_ok"] = bool(cos > 0.99 and rel < 0.15)
         except Exception as e:
-            extra["int8_attn_error"] = repr(e)[:120]
+            record_err("int8_attn_error", e)
 
         # --- decode-inclusive throughput: SD AutoencoderKL decode of the 16
         # latent frames (weights random — conv cost is value-independent)
         try:
+            check_budget("decode")
             from latte_tpu.vae.autoencoder_kl import AutoencoderKL
 
             vae = AutoencoderKL(dtype=jnp.bfloat16)
@@ -500,7 +564,7 @@ def main() -> None:
                 60.0 / (sec_per_video + decode_s), 3
             )
         except Exception as e:
-            extra["decode_error"] = repr(e)[:120]
+            record_err("decode_error", e)
 
         # --- block-cache serving (core/block_cache.py): training-free
         # Δ-DiT/BlockDance-style acceleration — the front 9 of 14 pairs
@@ -510,6 +574,7 @@ def main() -> None:
         # property of trained nets, so treat it as a mechanism guard, not
         # a final quality claim.
         try:
+            check_budget("block_cache")
             from latte_tpu.core.block_cache import cached_sample_loop
 
             BC_K, BC_INT = 9, 2
@@ -582,7 +647,7 @@ def main() -> None:
                 extra["block_cache_latent_cos"] = round(cos, 4)
                 extra["block_cache_latent_rel_err"] = round(rel, 4)
         except Exception as e:
-            extra["block_cache_error"] = repr(e)[:120]
+            record_err("block_cache_error", e)
 
         # --- 128-frame long-video protocol (the fvd2048_128f shape,
         # `/root/reference/tools/metrics/metric_main.py:121-132`): one
@@ -593,6 +658,7 @@ def main() -> None:
         # layouts, so "auto" routing is already optimal — the 128f lever
         # is the same static-int8 arithmetic as 16f serving.
         try:
+            check_budget("128f")
             x128_shape = (BATCH, 128, 4, 32, 32)
             for tag, m128, p128 in (
                 ("videos_per_min_128f", model.clone(unroll_blocks=False, num_frames=128), None),
@@ -653,7 +719,7 @@ def main() -> None:
                     BATCH * 60.0 / (time.perf_counter() - t0), 3
                 )
         except Exception as e:
-            extra["bench128f_error"] = repr(e)[:120]
+            record_err("bench128f_error", e)
 
         # --- T2V 512² serving: the reference's flagship USER budget
         # (`/root/reference/configs/t2x/t2v_sample.yaml:19-28`: DDIM-50,
@@ -666,6 +732,7 @@ def main() -> None:
         # +cross-attention to 120 T5 tokens per block, adaLN-single
         # (shared table, per-block shift tables) — see docs/tpu_notes.md.
         try:
+            check_budget("t2v_512")
             from latte_tpu.core.scheduler import get_scheduler
             from latte_tpu.models.t2v import LatteT2V
             from latte_tpu.sample.pipeline_t2v import LattePipeline
@@ -773,19 +840,9 @@ def main() -> None:
                 if base:
                     extra[dst] = round(60.0 / (60.0 / base + dec_s), 3)
         except Exception as e:
-            extra["bench_t2v_error"] = repr(e)[:160]
+            record_err("bench_t2v_error", e)
 
-    print(
-        json.dumps(
-            {
-                "metric": "videos/min/chip (Latte-XL/2 16f 256², DDIM-50, latents)",
-                "value": round(videos_per_min, 3),
-                "unit": "videos/min/chip",
-                "vs_baseline": round(videos_per_min / A100_EST_VIDEOS_PER_MIN, 3),
-                "extra": extra,
-            }
-        )
-    )
+    emit()
 
 
 if __name__ == "__main__":
