@@ -35,7 +35,7 @@ except Exception:  # pragma: no cover
     pltpu = None
     _VMEM = None
 
-__all__ = ["flash_attention", "attention_reference"]
+__all__ = ["flash_attention", "flash_attention_int8", "attention_reference"]
 
 _NEG_INF = -1e30
 
@@ -325,6 +325,154 @@ def _flash_bwd(block_q, block_k, rows, bwd_impl, res, g):
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _flash_int8_kernel(
+    q_ref, k_ref, v_ref, sc_ref, o_ref, *, block_k: int, pv_int8: bool
+):
+    """Online-softmax attention with int8 matmuls (serving forward).
+
+    q/k (and v when ``pv_int8``) arrive PRE-QUANTIZED int8 at calibrated
+    per-head scales — the quantize fuses into the qkv dense's dequant
+    epilogue outside the kernel, exactly like the fused-XLA int8 core
+    (`quant/int8.int8_attention`). Both matmuls then run int8×int8→int32
+    on the MXU (2× the bf16 rate on v5e) and the K/V stream through VMEM
+    at half the bytes. ``sc_ref`` carries two fp32 scalars per (batch·head)
+    row: the folded logit scale qs·ks·D^-1/2 and the v dequant scale.
+
+    P·V quantizes the probabilities at a per-(row, K-block) scale — the
+    flash-local analogue of the fused path's per-row scale: within each
+    K block the row's block-max maps to 127, so diffuse rows keep relative
+    precision instead of rounding to zero, and the scale folds into the
+    fp32 accumulation (`acc · blockmax/127 · vs`). The fp32 softmax
+    statistics (m, l) come from the UNQUANTIZED probabilities, so the
+    normalization matches the fused int8 core's semantics.
+    """
+    q = q_ref[...]  # (R, bq, D) int8
+    seq_k = k_ref.shape[1]
+    nk = seq_k // block_k
+    R, bq, _ = q.shape
+    D = o_ref.shape[-1]
+    logit_scale = sc_ref[:, 0].reshape(R, 1, 1)
+    v_scale = sc_ref[:, 1].reshape(R, 1, 1)
+
+    acc = jnp.zeros((R, bq, D), jnp.float32)
+    m = jnp.full((R, bq, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((R, bq, 1), jnp.float32)
+
+    def body(j, carry):
+        acc, m, l = carry
+        k_blk = k_ref[:, pl.ds(j * block_k, block_k), :]
+        v_blk = v_ref[:, pl.ds(j * block_k, block_k), :]
+        s32 = jax.lax.dot_general(
+            q,
+            k_blk,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32,
+        )  # (R, bq, bk) int32
+        s = s32.astype(jnp.float32) * logit_scale
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)  # in (0, 1]
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if pv_int8:
+            p_max = jnp.maximum(
+                jnp.max(p, axis=-1, keepdims=True), 1e-30
+            )  # (R, bq, 1)
+            p_i8 = jnp.round(p * (127.0 / p_max)).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                p_i8,
+                v_blk,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (p_max / 127.0)
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(v_blk.dtype),
+                v_blk,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )
+        acc = acc * alpha + pv
+        return acc, m_new, l
+
+    acc, m, l = jax.lax.fori_loop(0, nk, body, (acc, m, l))
+    out = acc / l
+    if pv_int8:
+        out = out * v_scale
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+def flash_attention_int8(
+    q, k, v, q_amax, k_amax, v_amax, out_dtype, *,
+    pv_int8: bool = True,
+    block_q: int = 1024, block_k: int = 1024, rows: int = 1,
+):
+    """int8 flash attention with calibrated per-head scales (serving only).
+
+    Layout (B, N, H, D) -> (B, N, H, D); ``{q,k,v}_amax`` of shape (H,)
+    come from the same calibration pass as `quant/int8.int8_attention` —
+    this kernel is its flash-tiled sibling for the long sequences that the
+    model's "auto" mode routes to the flash kernel (N >= flash_min_n, e.g.
+    the 1024-token spatial attention of T2V 512²,
+    `/root/reference/configs/t2x/t2v_sample.yaml:19-28`). Forward-only:
+    the int8 core is a serving arithmetic, training differentiates the
+    floating-point paths.
+
+    Sequence lengths the block tiling can't cover fall back to the fused
+    int8 core (which is also where short sequences route — the "auto"
+    dispatch never sends N < flash_min_n here).
+    """
+    N = q.shape[1]
+    block_q = min(block_q, N)
+    block_k = min(block_k, N)
+    if N % block_q or N % block_k:
+        from latte_tpu.quant.int8 import int8_attention
+
+        return int8_attention(
+            q, k, v, q_amax, k_amax, v_amax, out_dtype, pv_int8=pv_int8
+        )
+
+    B, _, H, D = q.shape
+    qs = jnp.maximum(q_amax.astype(jnp.float32), 1e-8) / 127.0  # (H,)
+    ks = jnp.maximum(k_amax.astype(jnp.float32), 1e-8) / 127.0
+    vs = jnp.maximum(v_amax.astype(jnp.float32), 1e-8) / 127.0
+
+    def to_i8(x, s):
+        return jnp.clip(
+            jnp.round(x.astype(jnp.float32) / s.reshape(1, 1, H, 1)), -127, 127
+        ).astype(jnp.int8)
+
+    q_i8 = to_i8(q, qs)
+    k_i8 = to_i8(k, ks)
+    v_in = to_i8(v, vs) if pv_int8 else v
+    # (B, N, H, D) -> (B*H, N, D) rows, like the bf16 kernel
+    fold = lambda a: a.transpose(0, 2, 1, 3).reshape(B * H, N, D)
+    # per-(batch·head) fp32 [logit_scale, v_scale] pairs
+    sc = jnp.tile(
+        jnp.stack([qs * ks * (D**-0.5), vs], axis=-1), (B, 1)
+    )  # (B*H, 2)
+
+    BH = B * H
+    while rows > 1 and BH % rows:
+        rows //= 2
+    grid = (BH // rows, N // block_q)
+    kw = {} if _VMEM is None else {"memory_space": _VMEM}
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_flash_int8_kernel, block_k=block_k, pv_int8=pv_int8),
+        out_shape=jax.ShapeDtypeStruct((BH, N, D), out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rows, block_q, D), lambda b, i: (b, i, 0), **kw),
+            pl.BlockSpec((rows, N, D), lambda b, i: (b, 0, 0), **kw),
+            pl.BlockSpec((rows, N, D), lambda b, i: (b, 0, 0), **kw),
+            pl.BlockSpec((rows, 2), lambda b, i: (b, 0), **kw),
+        ],
+        out_specs=pl.BlockSpec((rows, block_q, D), lambda b, i: (b, i, 0), **kw),
+        interpret=interpret,
+    )(fold(q_i8), fold(k_i8), fold(v_in), sc)
+    return out.reshape(B, H, N, D).transpose(0, 2, 1, 3)
 
 
 def flash_attention(

@@ -160,9 +160,9 @@ class Attention(nn.Module):
     # on the MXU using calibrated per-head q/k/v scales (sown here under
     # quantized="calib"). Values: False | True/"full" (QKᵀ AND P·V int8,
     # P·V at a per-row probability scale) | "qk" (QKᵀ int8 only; P·V stays
-    # in the model dtype). Applies on the fused-XLA path only — the flash /
-    # ring kernels stay bf16 (a warning fires when the resolved mode
-    # bypasses it; force attention_mode="xla" to keep int8 at long N).
+    # in the model dtype). Served by the fused-XLA core at short N and by
+    # the Pallas int8 flash kernel (kernels/attention.flash_attention_int8)
+    # at flash-routed N — only "ring" stays bf16 (a warning fires there).
     # Requires quantized="calib" (to sow scales) or "static" (to serve);
     # any other quantized value raises — the flag must never silently
     # serve bf16. The last floating-point compute category of the
@@ -241,19 +241,16 @@ class Attention(nn.Module):
             # N=1024 (512²) — docs/tpu_notes.md "MFU roofline".
             mode = "flash" if N >= self.flash_min_n else "xla"
 
-        if self.int8_attention and mode in ("flash", "ring"):
-            # the flash/ring kernels have no int8 core: tell the user the
-            # int8 flag is being bypassed at this sequence length rather
-            # than silently serving bf16 (set attention_mode="xla" to keep
-            # the int8 core at long N — measure both; at N>=512 bf16 flash
-            # may still win, docs/tpu_notes.md)
+        if self.int8_attention and mode == "ring":
+            # the ring kernel has no int8 core: tell the user the int8 flag
+            # is being bypassed rather than silently serving bf16 (flash
+            # DOES have one — kernels/attention.flash_attention_int8)
             import warnings
 
             warnings.warn(
                 f"int8_attention: resolved attention mode {mode!r} at N={N} "
-                f"(flash_min_n={self.flash_min_n}) has no int8 core — this "
-                "attention call runs bf16; force attention_mode='xla' to "
-                "keep int8 attention at this sequence length",
+                "has no int8 core — this attention call runs bf16; use "
+                "attention_mode='xla'/'flash' to keep int8 attention",
                 stacklevel=2,
             )
 
@@ -276,6 +273,19 @@ class Attention(nn.Module):
             out = ring_attention_sharded(
                 q, k, v, self.ring_mesh, self.ring_axis
             )  # (B, N, H, hd), token axis sharded over the ring
+        elif mode == "flash" and self.int8_attention and self.quantized == "static":
+            from latte_tpu.kernels.attention import flash_attention_int8
+
+            out = flash_attention_int8(
+                q,
+                k,
+                v,
+                qkv_amax[0],
+                qkv_amax[1],
+                qkv_amax[2],
+                self.dtype,
+                pv_int8=(self.int8_attention != "qk"),
+            )
         elif mode == "flash":
             from latte_tpu.kernels.attention import flash_attention
 

@@ -489,7 +489,7 @@ class TestInt8Attention:
         rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-12)
         assert rel < 0.03, rel
 
-    def _model(self, quantized, int8_attention):
+    def _model(self, quantized, int8_attention, attention_mode="xla"):
         from latte_tpu.models.dit import Latte
 
         return Latte(
@@ -497,7 +497,7 @@ class TestInt8Attention:
             num_frames=2,
             extras=1,
             learn_sigma=True,
-            attention_mode="xla",
+            attention_mode=attention_mode,
             hidden_size=64,
             depth=2,
             num_heads=4,
@@ -506,12 +506,12 @@ class TestInt8Attention:
             int8_attention=int8_attention,
         )
 
-    def _calib_to_static(self, ia):
+    def _calib_to_static(self, ia, attention_mode="xla"):
         """The full calib -> quantize_params -> static recipe with the int8
         attention core enabled; returns (out_fp, out_static, qparams)."""
-        fp = self._model(False, False)
-        calib_m = self._model("calib", ia)
-        static_m = self._model("static", ia)
+        fp = self._model(False, False, attention_mode)
+        calib_m = self._model("calib", ia, attention_mode)
+        static_m = self._model("static", ia, attention_mode)
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 4, 8, 8))
         t = jnp.array([10, 500], jnp.int32)
         params = fp.init({"params": jax.random.PRNGKey(1)}, x, t)["params"]
@@ -570,6 +570,20 @@ class TestInt8Attention:
         params = m.init({"params": jax.random.PRNGKey(0)}, x, t)["params"]
         assert "q_scale" not in params["blocks"]["spatial"]["attn"]
 
+    def test_model_flash_routed_parity(self):
+        """The flash-routed dispatch serves the Pallas int8 flash kernel
+        (kernels/attention.flash_attention_int8), not bf16: forcing
+        attention_mode='flash' through the same calib->static recipe must
+        stay as close to fp as the fused-XLA int8 core does."""
+        out_fp, out_s, qparams = self._calib_to_static(True, "flash")
+        attn = qparams["blocks"]["spatial"]["attn"]
+        assert "q_scale" in attn  # calib sows on the flash path too
+        a, b = np.asarray(out_s, np.float64), np.asarray(out_fp, np.float64)
+        rel = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-12)
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert rel < 0.12, rel
+        assert cos > 0.99, cos
+
     def test_registry_choke_point(self):
         import pytest
 
@@ -595,3 +609,122 @@ class TestInt8Attention:
         Args.int8_attention = "bogus"
         with pytest.raises(ValueError, match="expected true"):
             get_models(Args())
+
+
+class TestInt8FlashAttention:
+    """Pallas int8 flash kernel (kernels/attention.flash_attention_int8):
+    the flash-tiled sibling of quant/int8.int8_attention for the long
+    sequences "auto" routes to flash (e.g. T2V 512²'s 1024-token spatial
+    attention). Interpret mode on CPU; the TPU path compiles the same
+    kernel body."""
+
+    def _amax(self, x):
+        return jnp.max(jnp.abs(jnp.asarray(x)), axis=(0, 1, 3))
+
+    def _run(self, q, k, v, **kw):
+        from latte_tpu.kernels.attention import flash_attention_int8
+
+        return np.asarray(
+            flash_attention_int8(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                self._amax(q), self._amax(k), self._amax(v), jnp.float32,
+                **kw,
+            ),
+            np.float64,
+        )
+
+    def test_matches_fused_int8_core(self):
+        """Same calibrated scales -> the flash tiling must agree with the
+        fused int8 core up to the per-(row, K-block) vs per-row P scale."""
+        from latte_tpu.quant import int8_attention
+
+        rng = np.random.default_rng(0)
+        q, k, v = (
+            rng.normal(size=(2, 128, 4, 16)).astype(np.float32)
+            for _ in range(3)
+        )
+        out = self._run(q, k, v, block_q=64, block_k=64)
+        fused = np.asarray(
+            int8_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                self._amax(q), self._amax(k), self._amax(v), jnp.float32,
+            ),
+            np.float64,
+        )
+        rel = np.linalg.norm(out - fused) / (np.linalg.norm(fused) + 1e-12)
+        assert rel < 0.03, rel
+
+    def test_matches_fp_attention(self):
+        rng = np.random.default_rng(1)
+        q, k, v = (
+            rng.normal(size=(1, 128, 2, 16)).astype(np.float32)
+            for _ in range(3)
+        )
+        out = self._run(q, k, v, block_q=32, block_k=32)
+        ref = np.asarray(
+            TestInt8Attention._fp_attention(
+                None, q.astype(np.float64), k.astype(np.float64),
+                v.astype(np.float64),
+            )
+        )
+        rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-12)
+        assert rel < 0.05, rel
+
+    def test_diffuse_rows_keep_their_mass(self):
+        """q=0 -> exactly uniform attention: the per-(row, block) P scale
+        must keep the mass (output = mean of v), like the fused core."""
+        rng = np.random.default_rng(2)
+        N = 256
+        q = np.zeros((1, N, 1, 8), np.float32)
+        k = rng.normal(size=(1, N, 1, 8)).astype(np.float32)
+        v = rng.normal(size=(1, N, 1, 8)).astype(np.float32)
+        from latte_tpu.kernels.attention import flash_attention_int8
+
+        out = np.asarray(
+            flash_attention_int8(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                jnp.ones((1,)), self._amax(k), self._amax(v), jnp.float32,
+                block_q=64, block_k=64,
+            ),
+            np.float64,
+        )
+        ref = np.broadcast_to(v.mean(axis=1, keepdims=True), v.shape).astype(
+            np.float64
+        )
+        assert np.abs(out).max() > 0, "diffuse row quantized to zero"
+        rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-12)
+        assert rel < 0.05, rel
+
+    def test_qk_only_mode(self):
+        rng = np.random.default_rng(3)
+        q, k, v = (
+            rng.normal(size=(1, 64, 2, 8)).astype(np.float32)
+            for _ in range(3)
+        )
+        out = self._run(q, k, v, pv_int8=False, block_q=32, block_k=32)
+        ref = np.asarray(
+            TestInt8Attention._fp_attention(
+                None, q.astype(np.float64), k.astype(np.float64),
+                v.astype(np.float64),
+            )
+        )
+        rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-12)
+        assert rel < 0.03, rel
+
+    def test_uneven_n_falls_back_to_fused_core(self):
+        """N the tiling can't cover routes to the fused int8 core (never
+        silently bf16); output must still track fp attention."""
+        rng = np.random.default_rng(4)
+        q, k, v = (
+            rng.normal(size=(1, 50, 2, 8)).astype(np.float32)
+            for _ in range(3)
+        )
+        out = self._run(q, k, v, block_q=32, block_k=32)
+        ref = np.asarray(
+            TestInt8Attention._fp_attention(
+                None, q.astype(np.float64), k.astype(np.float64),
+                v.astype(np.float64),
+            )
+        )
+        rel = np.linalg.norm(out - ref) / (np.linalg.norm(ref) + 1e-12)
+        assert rel < 0.05, rel
