@@ -655,13 +655,39 @@ def main() -> None:
         # static-int8. Attention dispatch measured at these exact shapes
         # (docs/tpu_notes.md round 4): XLA beats the flash kernel at both
         # the spatial (128,256,16,72) and temporal (256,128,16,72)
-        # layouts, so "auto" routing is already optimal — the 128f lever
-        # is the same static-int8 arithmetic as 16f serving.
+        # layouts, so "auto" routing is already optimal — the 128f levers
+        # are the same static-int8 arithmetic as 16f serving PLUS the int8
+        # attention core: at 128f BOTH attention layouts stay below
+        # flash_min_n so the int8 QKᵀ/P·V dots apply everywhere, and
+        # attention is ~16% of the step — measured 247.6 → 193.2 ms/step
+        # (+28% videos/min; scripts/bench_128f_int8_attn.py, round 5).
+        # Plain int8 (no attn) runs LAST as the cross-round continuity
+        # number, dropped first when the soft budget is tight.
         try:
             check_budget("128f")
             x128_shape = (BATCH, 128, 4, 32, 32)
             for tag, m128, p128 in (
                 ("videos_per_min_128f", model.clone(unroll_blocks=False, num_frames=128), None),
+                (
+                    "videos_per_min_128f_int8_attn",
+                    model.clone(
+                        unroll_blocks=False,
+                        num_frames=128,
+                        quantized="static",
+                        int8_attention=True,
+                    ),
+                    None,
+                ),
+                (
+                    "videos_per_min_128f_int8_attn_block_cache",
+                    model.clone(
+                        unroll_blocks=False,
+                        num_frames=128,
+                        quantized="static",
+                        int8_attention=True,
+                    ),
+                    None,
+                ),
                 (
                     "videos_per_min_128f_int8",
                     model.clone(
@@ -669,14 +695,8 @@ def main() -> None:
                     ),
                     None,
                 ),
-                (
-                    "videos_per_min_128f_int8_block_cache",
-                    model.clone(
-                        unroll_blocks=False, num_frames=128, quantized="static"
-                    ),
-                    None,
-                ),
             ):
+                check_budget(tag)
                 shapes128 = jax.eval_shape(
                     lambda m=m128: m.init(
                         {"params": rng},
